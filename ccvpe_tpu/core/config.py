@@ -1,0 +1,191 @@
+"""Config tree for the CVM model family and training runs.
+
+The reference hard-codes four nearly-identical model classes
+(reference models.py:49 CVM_VIGOR, :346 CVM_VIGOR_ori_prior, :655 CVM_KITTI,
+:954 CVM_OxfordRobotCar) and per-script argparse flags with hard-coded dataset
+paths (reference train_VIGOR.py:25-35). Here a single dataclass tree covers all
+variants; presets give the exact reference hyperparameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Configuration of one CVM variant.
+
+    Shapes/derived quantities follow the reference exactly; see field comments
+    for the source lines.
+    """
+
+    name: str = "vigor"
+
+    # --- input geometry ---
+    grd_size: Tuple[int, int] = (320, 640)   # ground image H, W (train_VIGOR.py:58)
+    sat_size: Tuple[int, int] = (512, 512)   # aerial image H, W (train_VIGOR.py:66)
+
+    # --- backbone ---
+    circular: bool = True        # horizontal circular padding on the ground encoder
+                                 # (models.py:55; only when FoV==360, train_VIGOR.py:52-55)
+    backbone_features: int = 1280
+
+    # --- ground descriptor heads (models.py:57-97) ---
+    # channels of the 1x1 compress conv per scale; descriptor length per scale
+    # is grd_feat_w * channels[i]  (width-major flatten, models.py:57-62)
+    grd_desc_channels: Sequence[int] = (64, 32, 16, 8, 4, 2)
+
+    # --- aerial descriptor head (models.py:102-104, 173-184) ---
+    sat_desc_dim: int = 1280     # D; 2048 for KITTI (models.py:705)
+    sat_grid: int = 8            # 8x8 chunk grid over the bottleneck feature map
+
+    # --- orientation-rolled matching (models.py:191-202 etc.) ---
+    num_bins: int = 20                        # K; 16 for KITTI
+    roll_shifts: Sequence[int] = (64, 32, 16, 8, 4, 2)  # channel shift per scale
+                                              # KITTI: (128,64,32,16,8,8) - the level-6
+                                              # shift is 8, not 4 (models.py:910 quirk)
+    center_window: bool = False  # Oxford matches the centre slice of the rolled
+                                 # map (models.py:1094) instead of the first L chans
+
+    # --- decoders ---
+    # per-stage output channels; stage order = coarse(8x8) -> fine(256x256)
+    loc_deconv_out: Sequence[int] = (1024, 320, 160, 80, 40, 16)
+    loc_conv_out: Sequence[int] = (640, 320, 160, 80, 40)   # double_conv outs, stages 1-5
+    ori_deconv_out: Sequence[int] = (1024, 256, 128, 64, 32, 16)
+    ori_conv_out: Sequence[int] = (640, 256, 128, 64, 32)
+    head_hidden: int = 16        # final conv head 16->16->{1,2} (models.py:125-127)
+
+    # skip connections come from sat backbone blocks 15,10,4,2,0
+    # with channels 320,112,40,24,16 (models.py:167-171)
+    skip_blocks: Sequence[int] = (15, 10, 4, 2, 0)
+
+    # --- ori-prior restricted search (models.py:489, train_VIGOR.py:49) ---
+    # None = full K-bin search. Otherwise degrees of orientation noise; the
+    # matching loop for localization is restricted to bins
+    # range(-n, n+1), n = int(ori_noise / bin_degrees).
+    ori_noise: Optional[float] = None
+
+    @property
+    def bin_degrees(self) -> float:
+        return 360.0 / self.num_bins
+
+    @property
+    def grd_feat_hw(self) -> Tuple[int, int]:
+        """Backbone output H, W for the ground branch (stride-32 + static-224
+        SAME padding arithmetic; verified shapes in SURVEY.md 2.3.2)."""
+        from ccvpe_tpu.ops.padding import b0_output_size
+        return b0_output_size(self.grd_size)
+
+    @property
+    def sat_feat_hw(self) -> Tuple[int, int]:
+        from ccvpe_tpu.ops.padding import b0_output_size
+        return b0_output_size(self.sat_size)
+
+    @property
+    def grd_desc_lens(self) -> Tuple[int, ...]:
+        w = self.grd_feat_hw[1]
+        return tuple(w * c for c in self.grd_desc_channels)
+
+    @property
+    def num_scales(self) -> int:
+        return len(self.roll_shifts)
+
+    @property
+    def restricted_bins(self) -> Optional[Tuple[int, ...]]:
+        """Bin offsets used for localization matching under an orientation
+        prior: range(-n, n+1) (models.py:489-499)."""
+        if self.ori_noise is None:
+            return None
+        n = int(self.ori_noise / self.bin_degrees)
+        return tuple(range(-n, n + 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference train_VIGOR.py:25-34,104-109)."""
+
+    learning_rate: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    batch_size: int = 8          # global batch
+    epochs: int = 15             # VIGOR 15, KITTI 6, Oxford 50
+    weight_infonce: float = 1e4
+    weight_ori: float = 1e1
+    temperature: float = 0.1     # infoNCE temperature (losses.py:4)
+    seed: int = 17
+    # sharding
+    data_axis: str = "data"
+    model_axis: str = "model"
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    log_every: int = 200
+
+
+def vigor(ori_noise: Optional[float] = None, circular: bool = True) -> ModelConfig:
+    """CVM_VIGOR / CVM_VIGOR_ori_prior (models.py:49, :346)."""
+    return ModelConfig(name="vigor", circular=circular, ori_noise=ori_noise)
+
+
+def kitti() -> ModelConfig:
+    """CVM_KITTI (models.py:655): 16 bins, D=2048, level-6 roll shift 8."""
+    return ModelConfig(
+        name="kitti",
+        grd_size=(256, 1024),
+        circular=False,
+        grd_desc_channels=(16, 8, 4, 2, 1, 1),
+        sat_desc_dim=2048,
+        num_bins=16,
+        roll_shifts=(128, 64, 32, 16, 8, 8),
+        loc_deconv_out=(1024, 256, 128, 64, 32, 16),
+        loc_conv_out=(512, 256, 128, 128, 32),   # conv3 outputs 128 (models.py:720)
+        ori_deconv_out=(1024, 256, 128, 64, 32, 16),
+        ori_conv_out=(512, 256, 128, 64, 32),
+    )
+
+
+def oxford() -> ModelConfig:
+    """CVM_OxfordRobotCar (models.py:954): centre-window matching, grd 154x231."""
+    return ModelConfig(
+        name="oxford",
+        grd_size=(154, 231),
+        circular=False,
+        grd_desc_channels=(32, 16, 8, 4, 2, 1),
+        center_window=True,
+    )
+
+
+def tiny(sat: int = 64, grd: Tuple[int, int] = (64, 128)) -> ModelConfig:
+    """A miniature config with the same topology, for tests and multi-chip
+    dry runs: sat 64^2 -> 2x2 bottleneck, 2x2 chunk grid, 6 decoder stages
+    2->4->8->16->32->64. Mirrors the reference invariant that the scale-i
+    descriptor length equals the scale-i sat channel count and
+    roll_shift * num_bins covers the full channel circle."""
+    return ModelConfig(
+        name="tiny",
+        grd_size=grd,
+        sat_size=(sat, sat),
+        circular=True,
+        grd_desc_channels=(64, 32, 16, 8, 4, 2),
+        sat_desc_dim=256,
+        sat_grid=2,
+        num_bins=4,
+        roll_shifts=(64, 32, 16, 8, 4, 2),
+        loc_deconv_out=(128, 64, 32, 16, 8, 16),
+        loc_conv_out=(128, 64, 32, 16, 8),
+        ori_deconv_out=(128, 64, 32, 16, 8, 16),
+        ori_conv_out=(128, 64, 32, 16, 8),
+    )
+
+
+PRESETS = {
+    "vigor": vigor,
+    "kitti": kitti,
+    "oxford": oxford,
+    "tiny": tiny,
+}
+
+
+def get_model_config(name: str, **kwargs) -> ModelConfig:
+    return PRESETS[name](**kwargs)

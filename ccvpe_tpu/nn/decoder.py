@@ -1,0 +1,85 @@
+"""Localization / orientation decoders (LMU: Localization Matching Upsample).
+
+Reference semantics (models.py:108-148 definitions, :204-341 forward):
+  loc stage s (coarse->fine):
+    x   = concat([max_k matching_score, l2norm(x_prev)])
+    x   = ConvTranspose2d(k=2, s=2)(x)
+    x   = concat([x, sat skip features])      # stages 1..5
+    x   = double_conv(x) = Conv3x3 -> ReLU -> Conv3x3
+  final stage: deconv -> head conv (Conv3x3 -> ReLU -> Conv3x3 -> 1 logit).
+  ori decoder: bottleneck gets the FULL K-channel matching stack, then the
+  same deconv/skip/conv ladder without further matching (models.py:322-341).
+
+TPU-first notes:
+  * ConvTranspose2d(k=2, s=2) has zero overlap, so it is implemented as one
+    einsum + reshape (pixel -> 2x2 block), i.e. a pure MXU matmul.
+  * NHWC; concat on the lane axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Deconv2x2(nn.Module):
+    """ConvTranspose2d(in, out, kernel=2, stride=2) as einsum + reshape.
+
+    out[b, 2i+di, 2j+dj, o] = sum_c x[b,i,j,c] * w[di,dj,c,o] + bias[o]
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum("bhwc,ijco->bhiwjo", x, kernel)
+        y = y.reshape(b, 2 * h, 2 * w, self.features)
+        return y + bias
+
+
+class DoubleConv(nn.Module):
+    """Conv3x3(pad 1) -> ReLU -> Conv3x3(pad 1) (models.py:42-47)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.features, (3, 3), padding=1, name="conv_a")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.features, (3, 3), padding=1, name="conv_b")(x)
+
+
+class HeadConv(nn.Module):
+    """Final head: Conv3x3 -> ReLU -> Conv3x3 to out channels
+    (models.py:125-127 loc, :146-148 ori)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.hidden, (3, 3), padding=1, name="conv_a")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out, (3, 3), padding=1, name="conv_b")(x)
+
+
+class DecoderStage(nn.Module):
+    """One LMU stage: deconv -> optional skip concat -> double conv."""
+
+    deconv_out: int
+    conv_out: Optional[int]   # None for the final stage (head applied outside)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray]) -> jnp.ndarray:
+        x = Deconv2x2(self.deconv_out, name="deconv")(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        if self.conv_out is not None:
+            x = DoubleConv(self.conv_out, name="conv")(x)
+        return x

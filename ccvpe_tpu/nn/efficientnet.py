@@ -1,0 +1,183 @@
+"""EfficientNet-B0 feature extractor in Flax (NHWC, TPU-native).
+
+Re-designed from the behavior of the reference backbone
+(reference efficientnet_pytorch/model.py:34-326, utils.py:627-673):
+stem conv s2 -> 16 MBConv blocks -> 1x1 head conv to 1280 channels, each
+MBConv = [expand 1x1 + BN + swish] -> depthwise conv + BN + swish -> SE ->
+project 1x1 + BN -> drop-connect + residual. All convs use the static-224
+SAME padding constants (see ccvpe_tpu/ops/padding.py); the ground branch may
+use horizontal-circular padding for 360-degree panoramas (model.py:5).
+
+Differences from the reference implementation (intentional, TPU-first):
+  * NHWC layout, channels on the TPU lane dimension.
+  * Padding is baked to per-layer compile-time constants.
+  * Returns the head features and all 16 block outputs in one pass
+    (the reference has separate extract_features / extract_features_multiscale).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ccvpe_tpu.ops.padding import B0_BLOCKS, B0_STEM, pad_same, traced_same_pads
+
+# Per-block (expand_ratio, input_filters, output_filters, kernel, stride),
+# decoded from the B0 block-args strings (utils.py:647-655) with num_repeat
+# expanded (model.py:186-203).
+B0_BLOCK_SPECS: Tuple[Tuple[int, int, int, int, int], ...] = (
+    (1, 32, 16, 3, 1),
+    (6, 16, 24, 3, 2), (6, 24, 24, 3, 1),
+    (6, 24, 40, 5, 2), (6, 40, 40, 5, 1),
+    (6, 40, 80, 3, 2), (6, 80, 80, 3, 1), (6, 80, 80, 3, 1),
+    (6, 80, 112, 5, 1), (6, 112, 112, 5, 1), (6, 112, 112, 5, 1),
+    (6, 112, 192, 5, 2), (6, 192, 192, 5, 1), (6, 192, 192, 5, 1), (6, 192, 192, 5, 1),
+    (6, 192, 320, 3, 1),
+)
+SE_RATIO = 0.25          # utils.py:648-654
+BN_EPS = 1e-3            # utils.py:666
+BN_MOMENTUM = 0.99       # utils.py:665
+DROP_CONNECT_RATE = 0.2  # utils.py:628
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+class PaddedConv(nn.Module):
+    """Conv with static pre-computed SAME padding (optionally circular in W)."""
+
+    features: int
+    kernel: int
+    stride: int
+    pad_h: Tuple[int, int]
+    pad_w: Tuple[int, int]
+    circular: bool = False
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = pad_same(x, self.pad_h, self.pad_w, circular=self.circular)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=False,
+            feature_group_count=self.groups,
+            name="conv",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    eps: float = BN_EPS
+    momentum: float = BN_MOMENTUM
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            name="bn",
+        )(x)
+
+
+class SqueezeExcite(nn.Module):
+    """SE: global avg pool -> reduce 1x1 -> swish -> expand 1x1 -> sigmoid gate
+    (model.py:112-118)."""
+
+    reduced: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), name="reduce")(s)
+        s = swish(s)
+        s = nn.Conv(x.shape[-1], (1, 1), name="expand")(s)
+        return jax.nn.sigmoid(s) * x
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck block (model.py:34-131)."""
+
+    expand_ratio: int
+    in_filters: int
+    out_filters: int
+    kernel: int
+    stride: int
+    pad_h: Tuple[int, int]
+    pad_w: Tuple[int, int]
+    circular: bool
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inputs = x
+        mid = self.in_filters * self.expand_ratio
+        if self.expand_ratio != 1:
+            x = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = BatchNorm(name="bn0")(x, train)
+            x = swish(x)
+        x = pad_same(x, self.pad_h, self.pad_w, circular=self.circular)
+        x = nn.Conv(
+            mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding="VALID", use_bias=False, feature_group_count=mid,
+            name="depthwise_conv",
+        )(x)
+        x = BatchNorm(name="bn1")(x, train)
+        x = swish(x)
+        x = SqueezeExcite(max(1, int(self.in_filters * SE_RATIO)), name="se")(x)
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, name="project_conv")(x)
+        x = BatchNorm(name="bn2")(x, train)
+        if self.stride == 1 and self.in_filters == self.out_filters:
+            if train and self.drop_rate > 0:
+                # drop-connect / stochastic depth (utils.py:129-154)
+                keep = 1.0 - self.drop_rate
+                rng = self.make_rng("dropout")
+                mask = jnp.floor(
+                    keep + jax.random.uniform(rng, (x.shape[0], 1, 1, 1), x.dtype)
+                )
+                x = x / keep * mask
+            x = x + inputs
+        return x
+
+
+class EfficientNetB0(nn.Module):
+    """B0 feature extractor returning (head_features, [16 block outputs])."""
+
+    circular: bool = False
+    head_features: int = 1280
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        pads = traced_same_pads()
+        (ph, pw) = pads[0]
+        x = pad_same(x, ph, pw, circular=self.circular)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="VALID", use_bias=False,
+                    name="stem_conv")(x)
+        x = BatchNorm(name="stem_bn")(x, train)
+        x = swish(x)
+
+        multiscale = []
+        n = len(B0_BLOCK_SPECS)
+        for i, (e, cin, cout, k, s) in enumerate(B0_BLOCK_SPECS):
+            ph, pw = pads[1 + i]
+            x = MBConv(
+                expand_ratio=e, in_filters=cin, out_filters=cout, kernel=k,
+                stride=s, pad_h=ph, pad_w=pw, circular=self.circular,
+                drop_rate=DROP_CONNECT_RATE * i / n,   # model.py:262-264
+                name=f"block{i}",
+            )(x, train)
+            multiscale.append(x)
+
+        x = nn.Conv(self.head_features, (1, 1), use_bias=False, name="head_conv")(x)
+        x = BatchNorm(name="head_bn")(x, train)
+        x = swish(x)
+        return x, multiscale

@@ -1,0 +1,125 @@
+"""Orientation-rolled descriptor correlation as batched MXU matmuls.
+
+The reference computes, per orientation bin i, per pixel (y,x):
+
+    window_i = roll(sat_map, -i*shift, channel)[:L]            # 'first' mode
+             | roll(sat_map, -i*shift, channel)[D/2-L/2:D/2+L/2]  # 'center'
+    score_i  = <grd, window_i> / (||window_i|| * ||grd||)
+
+with a Python loop over bins (reference models.py:191-202 and 5 further
+per-scale loops; center-window at models.py:1094; restricted bin range for the
+orientation prior at models.py:489-499).
+
+TPU-first reformulation: window_i[c] = S[(off + c + i*shift) mod D], so with
+the ground descriptor zero-embedded at channel offset `off` into length D,
+
+    numerator_i   = sum_d roll(g_pad, +i*shift)[d] * S[d]
+    ||window_i||^2 = sum_d roll(m_pad, +i*shift)[d] * S[d]^2
+
+i.e. ALL bins at once are two matmuls against small [K, D] matrices built by K
+static rolls of a length-D vector. XLA maps both straight onto the MXU; no
+per-bin loop, no gather, S is read once per matmul. A Pallas kernel
+(ccvpe_tpu/ops/corr_pallas.py) further fuses numerator, norm and the division
+into a single pass over S.
+
+Shapes: sat [B, h, w, D] (NHWC), grd [B, L], output [B, h, w, K].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _window_offset(total: int, length: int, center: bool) -> int:
+    """Channel offset of the matching window inside the rolled map.
+
+    'first' mode -> 0 (models.py:193); 'center' -> int(D/2 - L/2)
+    (models.py:1094).
+    """
+    return int(total / 2 - length / 2) if center else 0
+
+
+def build_roll_matrices(
+    grd: jnp.ndarray,
+    total_dim: int,
+    shift: int,
+    bins: Sequence[int],
+    center: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build G [B, K, D] (rolled zero-embedded descriptors) and M [K, D]
+    (rolled window masks) for the given bin offsets."""
+    b, length = grd.shape
+    off = _window_offset(total_dim, length, center)
+    g_pad = jnp.zeros((b, total_dim), grd.dtype).at[:, off:off + length].set(grd)
+    m_pad = jnp.zeros((total_dim,), grd.dtype).at[off:off + length].set(1.0)
+    # static rolls: K is small (<=20), D <= 2048
+    g_mat = jnp.stack([jnp.roll(g_pad, k * shift, axis=-1) for k in bins], axis=1)
+    m_mat = jnp.stack([jnp.roll(m_pad, k * shift, axis=-1) for k in bins], axis=0)
+    return g_mat, m_mat
+
+
+def rolled_corr(
+    sat: jnp.ndarray,
+    grd: jnp.ndarray,
+    shift: int,
+    num_bins: int,
+    center: bool = False,
+    bins: Optional[Sequence[int]] = None,
+    eps: float = 0.0,
+) -> jnp.ndarray:
+    """Cosine-similarity matching scores for all orientation bins.
+
+    Args:
+      sat: [B, h, w, D] sat descriptor map (channels last).
+      grd: [B, L] ground descriptor, L <= D.
+      shift: channel shift per bin (e.g. 64 at the VIGOR bottleneck,
+        models.py:192; the KITTI level-6 quirk shift=8 is just passed in).
+      num_bins: K (20 VIGOR/Oxford, 16 KITTI).
+      center: Oxford centre-window mode.
+      bins: explicit bin offsets (e.g. range(-n, n+1) for the orientation
+        prior, models.py:489); default range(num_bins).
+      eps: optional denominator epsilon (reference uses none).
+
+    Returns: [B, h, w, K] scores, K = len(bins) if given else num_bins.
+    """
+    if bins is None:
+        bins = tuple(range(num_bins))
+    total_dim = sat.shape[-1]
+    g_mat, m_mat = build_roll_matrices(grd, total_dim, shift, bins, center)
+    # accumulate in f32 on the MXU
+    num = jnp.einsum("bhwd,bkd->bhwk", sat, g_mat,
+                     preferred_element_type=jnp.float32)
+    den_sq = jnp.einsum("bhwd,kd->bhwk", jnp.square(sat), m_mat,
+                        preferred_element_type=jnp.float32)
+    g_norm = jnp.linalg.norm(grd, axis=-1)  # [B]
+    den = jnp.sqrt(den_sq) * g_norm[:, None, None, None]
+    return num / (den + eps)
+
+
+def rolled_corr_reference(
+    sat: jnp.ndarray,
+    grd: jnp.ndarray,
+    shift: int,
+    num_bins: int,
+    center: bool = False,
+    bins: Optional[Sequence[int]] = None,
+) -> jnp.ndarray:
+    """Direct transcription of the reference loop semantics (roll + slice +
+    norms), used only to test the matmul formulation. [B,h,w,K] out."""
+    if bins is None:
+        bins = tuple(range(num_bins))
+    b, h, w, d = sat.shape
+    length = grd.shape[-1]
+    off = _window_offset(d, length, center)
+    g_norm = jnp.linalg.norm(grd, axis=-1)[:, None, None]
+    out = []
+    for k in bins:
+        rolled = jnp.roll(sat, -k * shift, axis=-1)
+        window = rolled[..., off:off + length]
+        den = jnp.linalg.norm(window, axis=-1) * g_norm
+        num = jnp.einsum("bhwc,bc->bhw", window, grd)
+        out.append(num / den)
+    return jnp.stack(out, axis=-1)

@@ -1,0 +1,68 @@
+"""Rolled-correlation op: matmul formulation vs. reference roll-loop semantics
+(reference models.py:191-202, :1094 center window, :489 restricted bins,
+:910 KITTI level-6 shift quirk)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccvpe_tpu.ops.corr import rolled_corr, rolled_corr_reference
+
+CASES = [
+    # (B, h, w, D, L, shift, K, center) - all reference configurations
+    (2, 8, 8, 1280, 1280, 64, 20, False),   # VIGOR bottleneck
+    (1, 16, 16, 640, 640, 32, 20, False),   # VIGOR scale 2
+    (2, 8, 8, 2048, 512, 128, 16, False),   # KITTI bottleneck
+    (1, 4, 4, 32, 32, 8, 16, False),        # KITTI level-6: shift 8 wraps at 4 bins
+    (2, 8, 8, 1280, 224, 64, 20, True),     # Oxford bottleneck centre window
+    (1, 8, 8, 40, 7, 2, 20, True),          # Oxford finest scale
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_matmul_matches_roll_loop(case, rng):
+    b, h, w, d, l, shift, k, center = case
+    sat = jnp.asarray(rng.normal(size=(b, h, w, d)).astype(np.float32))
+    grd = jnp.asarray(rng.normal(size=(b, l)).astype(np.float32))
+    fast = rolled_corr(sat, grd, shift, k, center)
+    ref = rolled_corr_reference(sat, grd, shift, k, center)
+    assert fast.shape == (b, h, w, k)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-5)
+
+
+def test_restricted_bins(rng):
+    sat = jnp.asarray(rng.normal(size=(1, 8, 8, 1280)).astype(np.float32))
+    grd = jnp.asarray(rng.normal(size=(1, 1280)).astype(np.float32))
+    bins = tuple(range(-3, 4))  # ori_noise = 54 deg -> n = 3
+    fast = rolled_corr(sat, grd, 64, 20, bins=bins)
+    ref = rolled_corr_reference(sat, grd, 64, 20, bins=bins)
+    assert fast.shape[-1] == 7
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-5)
+
+
+def test_roll_equals_rotation(rng):
+    """Rolling the ground descriptor by one bin's worth of channels shifts the
+    score argmax by one bin - the property that makes channel-roll equal
+    image-space rotation (SURVEY.md 2.3.1)."""
+    d, shift, k = 1280, 64, 20
+    sat = jnp.asarray(rng.normal(size=(1, 4, 4, d)).astype(np.float32))
+    grd = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
+    s0 = rolled_corr(sat, grd, shift, k)
+    s1 = rolled_corr(sat, jnp.roll(grd, -shift, axis=-1), shift, k)
+    # g'[c] = g[(c+shift) % D]  =>  score_k(g') == score_{k-1}(g)
+    np.testing.assert_allclose(
+        np.asarray(s1[..., 1:]), np.asarray(s0[..., :-1]), atol=2e-5
+    )
+
+
+def test_scores_are_cosines(rng):
+    sat = jnp.asarray(rng.normal(size=(1, 4, 4, 256)).astype(np.float32))
+    grd = jnp.asarray(rng.normal(size=(1, 256)).astype(np.float32))
+    s = np.asarray(rolled_corr(sat, grd, 64, 4))
+    assert np.all(s <= 1 + 1e-5) and np.all(s >= -1 - 1e-5)
+    # bin 0 with L = D is plain cosine similarity
+    cos = np.asarray(
+        jnp.einsum("bhwc,bc->bhw", sat, grd)
+        / (jnp.linalg.norm(sat, axis=-1) * jnp.linalg.norm(grd, axis=-1)[:, None, None])
+    )
+    np.testing.assert_allclose(s[..., 0], cos, atol=2e-5)
