@@ -1,0 +1,70 @@
+"""Benchmark harness: VIGOR train-step throughput on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference is PyTorch, single-device, with no published
+throughput numbers (SURVEY.md 6); the north-star target is >=10x the
+reference's PyTorch-CPU pairs/s. TORCH_CPU_PAIRS_PER_S below was measured in
+this container (reference CVM_VIGOR, batch 8, Adam step incl. full loss,
+average of 3 steps after warmup).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Measured in-container: reference PyTorch-CPU CVM_VIGOR train step
+# (batch 8, forward+losses+backward+Adam). See tools/bench_torch_baseline.py.
+TORCH_CPU_PAIRS_PER_S = 0.145
+
+BATCH = 8
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from ccvpe_tpu.core import config as cfg_lib
+    from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
+
+    model_cfg = cfg_lib.vigor()
+    train_cfg = cfg_lib.TrainConfig(batch_size=BATCH)
+    model, state, tx = create_train_state(model_cfg, train_cfg,
+                                          jax.random.PRNGKey(17))
+    step = make_train_step(model, tx, model_cfg, train_cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+    hg, wg = model_cfg.grd_size
+    hs, ws = model_cfg.sat_size
+    batch = Batch(
+        grd=jnp.asarray(rng.normal(size=(BATCH, hg, wg, 3)).astype(np.float32)),
+        sat=jnp.asarray(rng.normal(size=(BATCH, hs, ws, 3)).astype(np.float32)),
+        row_offset=jnp.asarray(rng.uniform(-100, 100, BATCH).astype(np.float32)),
+        col_offset=jnp.asarray(rng.uniform(-100, 100, BATCH).astype(np.float32)),
+        angle_deg=jnp.asarray(rng.uniform(0, 360, BATCH).astype(np.float32)),
+    )
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    pairs_per_s = BATCH / dt
+    print(json.dumps({
+        "metric": "vigor_train_pairs_per_chip_per_s",
+        "value": round(pairs_per_s, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / TORCH_CPU_PAIRS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

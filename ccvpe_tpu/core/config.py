@@ -57,9 +57,14 @@ class ModelConfig:
     ori_conv_out: Sequence[int] = (640, 256, 128, 64, 32)
     head_hidden: int = 16        # final conv head 16->16->{1,2} (models.py:125-127)
 
-    # skip connections come from sat backbone blocks 15,10,4,2,0
-    # with channels 320,112,40,24,16 (models.py:167-171)
-    skip_blocks: Sequence[int] = (15, 10, 4, 2, 0)
+    # Skip connections are derived in the model as the last backbone block at
+    # each spatial resolution; for 512^2 aerial inputs this reproduces the
+    # reference's blocks 15,10,4,2,0 with channels 320,112,40,24,16
+    # (models.py:167-171).
+
+    # correlation implementation: 'auto' (Pallas on TPU, XLA on CPU),
+    # 'xla', or 'pallas'
+    corr_impl: str = "auto"
 
     # --- ori-prior restricted search (models.py:489, train_VIGOR.py:49) ---
     # None = full K-bin search. Otherwise degrees of orientation noise; the
@@ -156,12 +161,13 @@ def oxford() -> ModelConfig:
     )
 
 
-def tiny(sat: int = 64, grd: Tuple[int, int] = (64, 128)) -> ModelConfig:
+def tiny(sat: int = 128, grd: Tuple[int, int] = (64, 128)) -> ModelConfig:
     """A miniature config with the same topology, for tests and multi-chip
-    dry runs: sat 64^2 -> 2x2 bottleneck, 2x2 chunk grid, 6 decoder stages
-    2->4->8->16->32->64. Mirrors the reference invariant that the scale-i
-    descriptor length equals the scale-i sat channel count and
-    roll_shift * num_bins covers the full channel circle."""
+    dry runs: sat 128^2 -> 4x4 bottleneck, 2x2 chunk grid, 6 decoder stages
+    2->4->...->128 (grid * 2^6 = sat, the reference geometry invariant).
+    Mirrors the invariant that the scale-i descriptor length equals the
+    scale-i sat channel count and roll_shift * num_bins covers the full
+    channel circle."""
     return ModelConfig(
         name="tiny",
         grd_size=grd,
@@ -169,7 +175,7 @@ def tiny(sat: int = 64, grd: Tuple[int, int] = (64, 128)) -> ModelConfig:
         circular=True,
         grd_desc_channels=(64, 32, 16, 8, 4, 2),
         sat_desc_dim=256,
-        sat_grid=2,
+        sat_grid=max(1, sat // 64),   # grid * 2^6 = sat (decoder geometry)
         num_bins=4,
         roll_shifts=(64, 32, 16, 8, 4, 2),
         loc_deconv_out=(128, 64, 32, 16, 8, 16),

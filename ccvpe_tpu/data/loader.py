@@ -1,0 +1,130 @@
+"""Threaded prefetching batch loader.
+
+The reference uses torch DataLoader with num_workers<=1
+(reference train_KITTI.py:93-100) - single-threaded PIL decode is its real
+bottleneck. This loader decodes samples with a thread pool (PIL releases the
+GIL for JPEG decode/resize), assembles NHWC numpy batches, and keeps a
+bounded prefetch queue so the accelerator never waits on the host.
+
+Per-host sharding for multi-host data parallelism: pass (shard_id,
+num_shards) and each host reads a disjoint stride of the index stream.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class ThreadedLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        drop_last: bool = True,
+        indices: Optional[Sequence[int]] = None,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        collate: Optional[Callable[[List[Any]], Dict[str, np.ndarray]]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.base_indices = list(indices if indices is not None else range(len(dataset)))
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.collate = collate or default_collate
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.base_indices) // self.num_shards
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> List[int]:
+        idx = list(self.base_indices)
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        return idx[self.shard_id::self.num_shards]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        self.epoch += 1
+        if self.drop_last:
+            indices = indices[: len(indices) // self.batch_size * self.batch_size]
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        job_q: "queue.Queue" = queue.Queue()
+        for bi, b in enumerate(batches):
+            job_q.put((bi, b))
+        results: Dict[int, Any] = {}
+        results_lock = threading.Lock()
+        next_emit = [0]
+        stop = threading.Event()
+
+        def fetch(i: int) -> Any:
+            rng = random.Random((self.seed, self.epoch, i))
+            try:
+                return self.dataset.__getitem__(i, rng=rng)
+            except TypeError:
+                return self.dataset[i]
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    bi, batch_idx = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = self.collate([fetch(i) for i in batch_idx])
+                except Exception as e:  # surface errors to the consumer
+                    batch = e
+                with results_lock:
+                    results[bi] = batch
+                    while next_emit[0] in results:
+                        out_q.put(results.pop(next_emit[0]))
+                        next_emit[0] += 1
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(min(self.num_workers, max(1, len(batches))))]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(len(batches)):
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def default_collate(samples: List[Any]) -> Dict[str, np.ndarray]:
+    """Stack dataclass/dict samples field-wise into numpy batches."""
+    first = samples[0]
+    if hasattr(first, "__dataclass_fields__"):
+        fields = first.__dataclass_fields__.keys()
+        out = {}
+        for f in fields:
+            vals = [getattr(s, f) for s in samples]
+            if isinstance(vals[0], str):
+                out[f] = np.array(vals)
+            else:
+                out[f] = np.stack([np.asarray(v) for v in vals])
+        return out
+    if isinstance(first, dict):
+        return {k: np.stack([np.asarray(s[k]) for s in samples]) for k in first}
+    raise TypeError(f"cannot collate {type(first)}")

@@ -1,0 +1,43 @@
+"""Host-side image transforms: decode, resize, ImageNet-normalize -> NHWC f32.
+
+Matches reference preprocessing (train_VIGOR.py:57-70): torchvision
+Resize (PIL bilinear) + ToTensor + Normalize(imagenet mean/std). GT map
+rendering is NOT done here - it happens on-device from scalars
+(ccvpe_tpu/ops/gt.py)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def resize_pil(img, size_hw: Tuple[int, int]):
+    """PIL bilinear resize to (H, W) - torchvision Resize semantics on PIL
+    input (train_VIGOR.py:58,66)."""
+    import PIL.Image
+    h, w = size_hw
+    if img.size != (w, h):
+        img = img.resize((w, h), PIL.Image.BILINEAR)
+    return img
+
+
+def normalize(img) -> np.ndarray:
+    """PIL/uint8 HWC -> float32 HWC, ImageNet-normalized."""
+    x = np.asarray(img, np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def load_image(path: str, size_hw: Tuple[int, int], fallback_hw=None) -> np.ndarray:
+    """Open -> RGB -> resize -> normalize. Unreadable files yield a blank
+    image (reference datasets.py:100-105)."""
+    import PIL.Image
+    try:
+        img = PIL.Image.open(path).convert("RGB")
+    except Exception:
+        h, w = fallback_hw or size_hw
+        img = PIL.Image.new("RGB", (w, h))
+    return normalize(resize_pil(img, size_hw))

@@ -24,7 +24,7 @@ from ccvpe_tpu.core.config import ModelConfig
 from ccvpe_tpu.nn.decoder import DecoderStage, HeadConv
 from ccvpe_tpu.nn.efficientnet import EfficientNetB0
 from ccvpe_tpu.nn.heads import GroundDescriptorHead, SatDescriptorHead, l2_normalize
-from ccvpe_tpu.ops.corr import rolled_corr
+from ccvpe_tpu.ops.corr import rolled_corr_dispatch
 
 
 class CVMOutput(NamedTuple):
@@ -49,7 +49,11 @@ class CVM(nn.Module):
                                      name="grd_encoder")(grd, train)
         sat_feat, sat_multiscale = EfficientNetB0(circular=False,
                                                   name="sat_encoder")(sat, train)
-        skips = [sat_multiscale[i] for i in cfg.skip_blocks]  # coarse -> fine
+        # Skip connections: the LAST backbone block at each spatial resolution.
+        # For a 512^2 aerial input this selects blocks 15,10,4,2,0 with
+        # channels 320,112,40,24,16 - exactly the reference's choice
+        # (models.py:167-171) - and generalizes to other geometries.
+        skip_by_size = {m.shape[1]: m for m in sat_multiscale}
 
         # --- descriptors ---
         grd_descs = [
@@ -62,9 +66,10 @@ class CVM(nn.Module):
         restricted = cfg.restricted_bins
 
         def match(x, scale_idx, bins=None):
-            return rolled_corr(
+            return rolled_corr_dispatch(
                 x, grd_descs[scale_idx], shift=cfg.roll_shifts[scale_idx],
                 num_bins=cfg.num_bins, center=cfg.center_window, bins=bins,
+                impl=cfg.corr_impl,
             )
 
         # --- bottleneck matching ---
@@ -86,12 +91,12 @@ class CVM(nn.Module):
                 scores_s = scores_loc
             score_max = jnp.max(scores_s, axis=-1, keepdims=True)
             x = jnp.concatenate([score_max, l2_normalize(x)], axis=-1)
-            skip = skips[s] if s < len(skips) else None
+            skip = skip_by_size.get(x.shape[1] * 2) if s < n - 1 else None
             x = DecoderStage(
                 deconv_out=cfg.loc_deconv_out[s],
                 conv_out=cfg.loc_conv_out[s] if s < n - 1 else None,
                 name=f"loc_stage{s + 1}",
-            )(x, skip if s < n - 1 else None)
+            )(x, skip)
         logits_map = HeadConv(cfg.head_hidden, 1, name="loc_head")(x)
 
         b = logits_map.shape[0]
@@ -101,7 +106,7 @@ class CVM(nn.Module):
         # --- orientation decoder ---
         y = jnp.concatenate([scores_full, l2_normalize(sat_desc)], axis=-1)
         for s in range(n):
-            skip = skips[s] if s < n - 1 else None
+            skip = skip_by_size.get(y.shape[1] * 2) if s < n - 1 else None
             y = DecoderStage(
                 deconv_out=cfg.ori_deconv_out[s],
                 conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,

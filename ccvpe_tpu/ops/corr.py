@@ -99,6 +99,33 @@ def rolled_corr(
     return num / (den + eps)
 
 
+def rolled_corr_dispatch(
+    sat: jnp.ndarray,
+    grd: jnp.ndarray,
+    shift: int,
+    num_bins: int,
+    center: bool = False,
+    bins: Optional[Sequence[int]] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Select the fused Pallas kernel on TPU backends, the XLA matmul
+    formulation elsewhere (CPU tests, interpret-unfriendly contexts).
+
+    auto: Pallas only when the channel dim fills the 128-wide VMEM lane tile
+    (D >= 128); for the fine decoder scales (D = 40..80) the padding waste
+    makes XLA's fused einsum faster (measured on v5e).
+    """
+    if impl == "auto":
+        if jax.default_backend() == "cpu" or sat.shape[-1] < 128:
+            impl = "xla"
+        else:
+            impl = "pallas"
+    if impl == "pallas":
+        from ccvpe_tpu.ops.corr_pallas import rolled_corr_pallas
+        return rolled_corr_pallas(sat, grd, shift, num_bins, center, bins)
+    return rolled_corr(sat, grd, shift, num_bins, center, bins)
+
+
 def rolled_corr_reference(
     sat: jnp.ndarray,
     grd: jnp.ndarray,

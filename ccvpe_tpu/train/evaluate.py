@@ -1,0 +1,144 @@
+"""Evaluation branches: VIGOR test with orientation prior + FoV slicing,
+KITTI longitudinal/lateral decomposition, Oxford sequential streaming.
+
+Reference protocols: train_VIGOR.py:246-338, train_KITTI.py:281-432,
+train_OxfordRobotCar.py:195-397.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ccvpe_tpu.core import config as cfg_lib
+from ccvpe_tpu.ops import pose
+from ccvpe_tpu.train.step import make_eval_step
+
+
+def _load_params(model_cfg, checkpoint: str):
+    """Load params/batch_stats from an Orbax run dir or a reference .pt."""
+    from ccvpe_tpu.models.cvm import CVM
+    import jax.numpy as jnp
+
+    model = CVM(model_cfg)
+    if checkpoint.endswith(".pt"):
+        from ccvpe_tpu.core.checkpoint import load_reference_checkpoint
+        from ccvpe_tpu.utils.torch_convert import to_variables
+        params, stats = load_reference_checkpoint(
+            checkpoint, num_scales=model_cfg.num_scales)
+        hg, wg = model_cfg.grd_size
+        hs, ws = model_cfg.sat_size
+        template = jax.eval_shape(lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, hg, wg, 3)),
+            jnp.zeros((1, hs, ws, 3)), False))
+        variables = to_variables(params, stats, template)
+        return model, variables["params"], variables.get("batch_stats", {})
+    from ccvpe_tpu.core.checkpoint import CheckpointManager
+    from ccvpe_tpu.train.step import create_train_state
+    _, state, _ = create_train_state(model_cfg, cfg_lib.TrainConfig(),
+                                     jax.random.PRNGKey(0))
+    mgr = CheckpointManager(checkpoint)
+    restored = mgr.restore_latest(jax.tree.map(np.asarray, state))
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {checkpoint}")
+    return model, restored.params, restored.batch_stats
+
+
+def slice_fov(grd: np.ndarray, fov: int) -> np.ndarray:
+    """FoV testing without retraining: keep the first W*FoV/360 columns
+    (train_VIGOR.py:272-273). NHWC."""
+    width = int(grd.shape[2] * fov / 360)
+    return grd[:, :, :width, :]
+
+
+def evaluate_vigor(args, ori_noise: float, circular: bool) -> Dict[str, float]:
+    from ccvpe_tpu.data.loader import ThreadedLoader
+    from ccvpe_tpu.data.vigor import VIGORDataset
+
+    # pre-defined random test orientations (train_VIGOR.py:73-79)
+    random_orientation = None
+    if ori_noise == 180.0:
+        fixture = os.path.join(
+            os.environ.get("CCVPE_REFERENCE", "/root/reference"),
+            f"{args.area}_orientation_test.npy")
+        if os.path.exists(fixture):
+            random_orientation = np.load(fixture)
+
+    dataset = VIGORDataset(args.root, split=args.area, train=False,
+                           ori_noise=ori_noise,
+                           random_orientation=random_orientation)
+    model_cfg = cfg_lib.vigor(
+        ori_noise=ori_noise if ori_noise < 180 else None, circular=circular)
+    model, params, batch_stats = _load_params(model_cfg, args.checkpoint)
+    eval_step = make_eval_step(model, model_cfg)
+
+    loader = ThreadedLoader(dataset, args.batch_size, shuffle=False,
+                            num_workers=args.num_workers, drop_last=False)
+    hs, ws = model_cfg.sat_size
+    distances, ori_errors, prob_at_gt = [], [], []
+    for raw in loader:
+        grd = slice_fov(raw["grd"], args.FoV)
+        heatmap, ori = eval_step(params, batch_stats, grd, raw["sat"])
+        rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
+        gt_rows, gt_cols = pose.gt_location(hs, ws, raw["row_offset"],
+                                            raw["col_offset"])
+        px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
+        mpp = np.array([dataset.meters_per_pixel(c) for c in raw["city"]])
+        distances.extend((px * mpp).tolist())
+        ori_errors.extend(pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
+        hm = np.asarray(heatmap)
+        prob_at_gt.extend(hm[np.arange(len(gt_rows)), gt_rows, gt_cols, 0].tolist())
+
+    summary = pose.summarize(np.array(distances), np.array(ori_errors),
+                             np.array(prob_at_gt))
+    for k, v in summary.items():
+        print(f"{k}: {v:.4f}")
+    return summary
+
+
+def evaluate_kitti(args) -> Dict[str, Dict[str, float]]:
+    """test1/test2 with longitudinal/lateral decomposition and recalls
+    (train_KITTI.py:281-432)."""
+    from ccvpe_tpu.data.kitti import KittiDataset
+    from ccvpe_tpu.data.loader import ThreadedLoader
+
+    model_cfg = cfg_lib.kitti()
+    model, params, batch_stats = _load_params(model_cfg, args.checkpoint)
+    eval_step = make_eval_step(model, model_cfg)
+    hs, ws = model_cfg.sat_size
+
+    results = {}
+    for name, file in (("test1", args.test1_file), ("test2", args.test2_file)):
+        dataset = KittiDataset(args.root, file, train=False,
+                               shift_range_lat=args.shift_range_lat,
+                               shift_range_lon=args.shift_range_lon,
+                               rotation_range=args.rotation_range)
+        loader = ThreadedLoader(dataset, args.batch_size, shuffle=False,
+                                num_workers=args.num_workers, drop_last=False)
+        mpp = dataset.meters_per_pixel()
+        dist, longi, lat, ori_err = [], [], [], []
+        for raw in loader:
+            heatmap, ori = eval_step(params, batch_stats, raw["grd"], raw["sat"])
+            rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
+            gt_rows, gt_cols = pose.gt_location(hs, ws, raw["row_offset"],
+                                                raw["col_offset"])
+            px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
+            dist.extend((px * mpp).tolist())
+            lo, la = pose.longitudinal_lateral(
+                rows, cols, gt_rows, gt_cols, raw["heading_deg"], mpp)
+            longi.extend(lo.tolist())
+            lat.extend(la.tolist())
+            ori_err.extend(pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
+        summary = pose.summarize(np.array(dist), np.array(ori_err))
+        summary.update({f"long_{k}": v for k, v in
+                        pose.recalls(np.array(longi)).items()})
+        summary.update({f"lat_{k}": v for k, v in
+                        pose.recalls(np.array(lat)).items()})
+        summary.update({f"ori_{k.replace('recall@', 'recall@deg')}": v for k, v in
+                        pose.recalls(np.array(ori_err)).items()})
+        results[name] = summary
+        print(name, summary)
+    return results

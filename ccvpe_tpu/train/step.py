@@ -1,0 +1,142 @@
+"""Jitted, sharded train / eval steps.
+
+Replaces the reference's epoch-loop body (reference train_VIGOR.py:112-150):
+GT pyramid construction, forward, the combined loss
+CE + w_nce * mean(infoNCE over scales) + w_ori * ori (train_VIGOR.py:146),
+backward and Adam update - all inside one XLA program. GT maps are rendered
+on-device from per-sample scalars (ccvpe_tpu/ops/gt.py), so the host only
+ships images + 3 scalars per sample.
+
+Data parallelism: inputs arrive sharded on the 'data' mesh axis; parameters
+are replicated; XLA inserts the gradient all-reduce under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ccvpe_tpu.core.config import ModelConfig, TrainConfig
+from ccvpe_tpu.models.cvm import CVM, CVMOutput
+from ccvpe_tpu.ops.gt import maxpool_pyramid, render_gt
+from ccvpe_tpu.train.losses import cross_entropy_loss, infonce_loss, orientation_loss
+
+
+class Batch(NamedTuple):
+    """One training batch. Images NHWC float32 (ImageNet-normalized);
+    offsets/angles are per-sample scalars used for on-device GT rendering."""
+    grd: jnp.ndarray          # [B, Hg, Wg, 3]
+    sat: jnp.ndarray          # [B, Hs, Ws, 3]
+    row_offset: jnp.ndarray   # [B]
+    col_offset: jnp.ndarray   # [B]
+    angle_deg: jnp.ndarray    # [B] in [0, 360)
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_model(model_cfg: ModelConfig) -> CVM:
+    return CVM(model_cfg)
+
+
+def create_train_state(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                       rng: jax.Array) -> Tuple[CVM, TrainState, optax.GradientTransformation]:
+    model = CVM(model_cfg)
+    hg, wg = model_cfg.grd_size
+    hs, ws = model_cfg.sat_size
+    variables = model.init(
+        rng, jnp.zeros((1, hg, wg, 3)), jnp.zeros((1, hs, ws, 3)), False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adam(train_cfg.learning_rate, b1=train_cfg.beta1,
+                    b2=train_cfg.beta2)
+    opt_state = tx.init(params)
+    return model, TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
+                             opt_state), tx
+
+
+def _reversed_bins(model_cfg: ModelConfig) -> bool:
+    # VIGOR & KITTI use reversed bin order, Oxford forward (SURVEY.md 2.3.9)
+    return model_cfg.name != "oxford"
+
+
+def compute_losses(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                   out: CVMOutput, batch: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    hs, ws = batch.sat.shape[1:3]
+    gt, gt_with_ori, gt_ori = render_gt(
+        hs, ws, model_cfg.num_bins,
+        batch.row_offset, batch.col_offset, batch.angle_deg,
+        reversed_order=_reversed_bins(model_cfg),
+    )
+    b = gt.shape[0]
+    gt_flat = gt.reshape(b, -1)
+    gt_flat = gt_flat / jnp.sum(gt_flat, axis=1, keepdims=True)
+
+    loss_ce = cross_entropy_loss(out.logits, gt_flat)
+    loss_ori = orientation_loss(out.ori, gt_ori, gt)
+
+    nce_terms = []
+    for s in out.matching_scores:
+        factor = hs // s.shape[1]
+        (gt_s,) = maxpool_pyramid(gt_with_ori, (factor,))
+        # reference flattens NCHW (K, h, w) - order only permutes the sum
+        nce_terms.append(infonce_loss(
+            s.reshape(b, -1), gt_s.reshape(b, -1), train_cfg.temperature))
+    loss_nce = sum(nce_terms) / len(nce_terms)
+
+    total = (loss_ce + train_cfg.weight_infonce * loss_nce
+             + train_cfg.weight_ori * loss_ori)
+    metrics = {"loss": total, "loss_ce": loss_ce, "loss_infonce": loss_nce,
+               "loss_ori": loss_ori}
+    return total, metrics
+
+
+def make_loss_fn(model: CVM, model_cfg: ModelConfig, train_cfg: TrainConfig):
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.grd, batch.sat, True,
+            mutable=["batch_stats"], rngs={"dropout": rng},
+        )
+        total, metrics = compute_losses(model_cfg, train_cfg, out, batch)
+        return total, (mutated["batch_stats"], metrics)
+    return loss_fn
+
+
+def make_train_step(model: CVM, tx: optax.GradientTransformation,
+                    model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    donate: bool = True):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+
+    loss_fn = make_loss_fn(model, model_cfg, train_cfg)
+
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, new_stats, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: CVM, model_cfg: ModelConfig):
+    """Forward-only step returning (heatmap, ori) for metric computation."""
+
+    def step(params, batch_stats, grd, sat):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          grd, sat, False)
+        return out.heatmap, out.ori
+
+    return jax.jit(step)

@@ -1,0 +1,114 @@
+"""Epoch driver: sharded training + per-epoch validation + checkpointing.
+
+Replaces the reference per-script loops (reference train_VIGOR.py:96-244,
+train_KITTI.py, train_OxfordRobotCar.py) with one driver over the config
+tree: DP-sharded jitted steps, on-device GT rendering, async checkpoints
+with resume, CSV/TB metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccvpe_tpu.core.checkpoint import CheckpointManager
+from ccvpe_tpu.core.config import ModelConfig, TrainConfig
+from ccvpe_tpu.core.mesh import make_mesh, replicated, shard_batch
+from ccvpe_tpu.core.metrics import MetricWriter
+from ccvpe_tpu.ops import pose
+from ccvpe_tpu.train.step import (
+    Batch,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def batch_from_numpy(b: Dict[str, np.ndarray]) -> Batch:
+    return Batch(
+        grd=b["grd"], sat=b["sat"],
+        row_offset=b["row_offset"], col_offset=b["col_offset"],
+        angle_deg=b["angle_deg"],
+    )
+
+
+class Trainer:
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 workdir: str = "runs/default"):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.mesh = make_mesh()
+        self.model, self.state, self.tx = create_train_state(
+            model_cfg, train_cfg, jax.random.PRNGKey(train_cfg.seed))
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.train_step = make_train_step(self.model, self.tx, model_cfg,
+                                          train_cfg)
+        self.eval_step = make_eval_step(self.model, model_cfg)
+        self.metrics = MetricWriter(workdir, model_cfg.name)
+        self.ckpt = CheckpointManager(
+            f"{workdir}/{train_cfg.checkpoint_dir}", keep=train_cfg.keep_checkpoints)
+        self.start_epoch = 0
+        restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, self.state))
+        if restored is not None:
+            self.state = jax.device_put(restored, replicated(self.mesh))
+            self.start_epoch = int(self.state.step) // max(1, getattr(self, "_spe", 1))
+            print(f"resumed from step {int(self.state.step)}")
+
+    def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
+                    epoch: int, rng: jax.Array) -> None:
+        t_last = time.time()
+        running = []
+        for i, raw in enumerate(loader):
+            batch = shard_batch(self.mesh, batch_from_numpy(raw))
+            self.state, m = self.train_step(self.state, batch, rng)
+            running.append(m)
+            if (i + 1) % self.train_cfg.log_every == 0:
+                vals = {k: float(np.mean([float(r[k]) for r in running]))
+                        for k in running[0]}
+                n = self.train_cfg.log_every * self.train_cfg.batch_size
+                dt = time.time() - t_last
+                vals["pairs_per_s"] = n / dt
+                self.metrics.write(int(self.state.step), vals)
+                print(f"[{epoch}, {i + 1}] loss: {vals['loss']:.3f} "
+                      f"({vals['pairs_per_s']:.2f} pairs/s)")
+                running, t_last = [], time.time()
+        self.ckpt.save(int(self.state.step),
+                       jax.tree.map(np.asarray, self.state),
+                       extra={"epoch": epoch})
+
+    def validate(self, loader: Iterable[Dict[str, np.ndarray]],
+                 meters_per_pixel: Callable[[str], float],
+                 epoch: int) -> Dict[str, float]:
+        distances, ori_errors = [], []
+        hs, ws = self.model_cfg.sat_size
+        for raw in loader:
+            heatmap, ori = self.eval_step(
+                self.state.params, self.state.batch_stats, raw["grd"], raw["sat"])
+            rows, cols, angle_pred = pose.decode_pose(heatmap, ori)
+            rows, cols = np.asarray(rows), np.asarray(cols)
+            angle_pred = np.asarray(angle_pred)
+            gt_rows, gt_cols = pose.gt_location(
+                hs, ws, raw["row_offset"], raw["col_offset"])
+            px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
+            mpp = np.array([meters_per_pixel(c) for c in raw["city"]]) \
+                if "city" in raw else meters_per_pixel(None)
+            distances.extend(np.atleast_1d(px * mpp).tolist())
+            ori_errors.extend(
+                pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
+        summary = pose.summarize(np.array(distances), np.array(ori_errors))
+        self.metrics.write(int(self.state.step),
+                           {f"val/{k}": v for k, v in summary.items()})
+        print(f"epoch {epoch} validation: {summary}")
+        return summary
+
+    def fit(self, train_loader_fn, val_loader_fn, meters_per_pixel,
+            epochs: Optional[int] = None) -> None:
+        rng = jax.random.PRNGKey(self.train_cfg.seed + 1)
+        for epoch in range(self.start_epoch, epochs or self.train_cfg.epochs):
+            self.train_epoch(train_loader_fn(epoch), epoch, rng)
+            self.validate(val_loader_fn(epoch), meters_per_pixel, epoch)
+        self.ckpt.wait()

@@ -141,13 +141,15 @@ def unflatten(flat: Flat) -> Dict[str, Any]:
     return tree
 
 
-def flatten(tree: Mapping[str, Any], prefix: Tuple[str, ...] = ()) -> Flat:
-    out: Flat = {}
+def flatten(tree: Mapping[str, Any], prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    """Flatten a nested mapping; leaves are kept as-is (arrays or anything
+    with a .shape, e.g. jax.ShapeDtypeStruct from eval_shape)."""
+    out: Dict[Tuple[str, ...], Any] = {}
     for k, v in tree.items():
         if isinstance(v, Mapping):
             out.update(flatten(v, prefix + (k,)))
         else:
-            out[prefix + (k,)] = np.asarray(v)
+            out[prefix + (k,)] = v
     return out
 
 

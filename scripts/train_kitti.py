@@ -1,0 +1,67 @@
+"""KITTI training / evaluation driver (reference train_KITTI.py, TPU-native)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True, help="KITTI dataset root")
+    p.add_argument("--train_file", required=False)
+    p.add_argument("--test1_file", required=False)
+    p.add_argument("--test2_file", required=False)
+    p.add_argument("--training", default="True", choices=["True", "False"])
+    p.add_argument("-l", "--learning_rate", type=float, default=1e-4)
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--weight_ori", type=float, default=1e1)
+    p.add_argument("--weight_infoNCE", type=float, default=1e4)
+    p.add_argument("--shift_range_lat", type=float, default=20)
+    p.add_argument("--shift_range_lon", type=float, default=20)
+    p.add_argument("--rotation_range", type=float, default=180)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--workdir", default="runs/kitti")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num_workers", type=int, default=8)
+    args = p.parse_args()
+
+    from ccvpe_tpu.core import config as cfg_lib
+    from ccvpe_tpu.data.kitti import KittiDataset
+    from ccvpe_tpu.data.loader import ThreadedLoader
+
+    if args.training == "True":
+        from ccvpe_tpu.train.trainer import Trainer
+        model_cfg = cfg_lib.kitti()
+        train_cfg = cfg_lib.TrainConfig(
+            learning_rate=args.learning_rate, batch_size=args.batch_size,
+            epochs=args.epochs, weight_ori=args.weight_ori,
+            weight_infonce=args.weight_infoNCE)
+        train_set = KittiDataset(args.root, args.train_file, train=True,
+                                 shift_range_lat=args.shift_range_lat,
+                                 shift_range_lon=args.shift_range_lon,
+                                 rotation_range=args.rotation_range)
+        test1 = KittiDataset(args.root, args.test1_file, train=False,
+                             shift_range_lat=args.shift_range_lat,
+                             shift_range_lon=args.shift_range_lon,
+                             rotation_range=args.rotation_range)
+        trainer = Trainer(model_cfg, train_cfg, workdir=args.workdir)
+        trainer.fit(
+            train_loader_fn=lambda epoch: ThreadedLoader(
+                train_set, args.batch_size, shuffle=True, seed=epoch,
+                num_workers=args.num_workers),
+            val_loader_fn=lambda epoch: ThreadedLoader(
+                test1, args.batch_size, shuffle=False,
+                num_workers=args.num_workers),
+            meters_per_pixel=train_set.meters_per_pixel,
+        )
+    else:
+        from ccvpe_tpu.train.evaluate import evaluate_kitti
+        evaluate_kitti(args)
+
+
+if __name__ == "__main__":
+    main()

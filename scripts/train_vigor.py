@@ -1,0 +1,82 @@
+"""VIGOR training / evaluation driver (reference train_VIGOR.py, TPU-native).
+
+Training:
+  python scripts/train_vigor.py --root /data/VIGOR --area samearea
+Evaluation with orientation prior and FoV slicing:
+  python scripts/train_vigor.py --root /data/VIGOR --training False \
+      --ori_noise 72 --FoV 360 --checkpoint runs/vigor/checkpoints
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True, help="VIGOR dataset root")
+    p.add_argument("--area", default="samearea", choices=["samearea", "crossarea"])
+    p.add_argument("--training", default="True", choices=["True", "False"])
+    p.add_argument("--pos_only", default="True", choices=["True", "False"])
+    p.add_argument("-l", "--learning_rate", type=float, default=1e-4)
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--weight_ori", type=float, default=1e1)
+    p.add_argument("--weight_infoNCE", type=float, default=1e4)
+    p.add_argument("-f", "--FoV", type=int, default=360)
+    p.add_argument("--ori_noise", type=float, default=180.0)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--workdir", default="runs/vigor")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (eval) or resume dir (train)")
+    p.add_argument("--num_workers", type=int, default=8)
+    args = p.parse_args()
+
+    from ccvpe_tpu.core import config as cfg_lib
+    from ccvpe_tpu.data.loader import ThreadedLoader
+    from ccvpe_tpu.data.vigor import VIGORDataset
+
+    training = args.training == "True"
+    # round ori_noise to the bin grid (train_VIGOR.py:49)
+    ori_noise = 18.0 * (args.ori_noise // 18.0)
+    circular = args.FoV == 360
+
+    train_cfg = cfg_lib.TrainConfig(
+        learning_rate=args.learning_rate, batch_size=args.batch_size,
+        epochs=args.epochs, weight_ori=args.weight_ori,
+        weight_infonce=args.weight_infoNCE)
+
+    if training:
+        from ccvpe_tpu.train.trainer import Trainer
+        model_cfg = cfg_lib.vigor(circular=circular)
+        dataset = VIGORDataset(args.root, split=args.area, train=True,
+                               pos_only=args.pos_only == "True",
+                               ori_noise=ori_noise)
+        # 80/20 split (train_VIGOR.py:83-91)
+        rng = np.random.default_rng(0)
+        idx = rng.permutation(len(dataset))
+        split = int(len(idx) * 0.8)
+        train_idx, val_idx = idx[:split].tolist(), idx[split:].tolist()
+
+        trainer = Trainer(model_cfg, train_cfg, workdir=args.workdir)
+        trainer.fit(
+            train_loader_fn=lambda epoch: ThreadedLoader(
+                dataset, args.batch_size, shuffle=True, seed=epoch,
+                num_workers=args.num_workers, indices=train_idx),
+            val_loader_fn=lambda epoch: ThreadedLoader(
+                dataset, args.batch_size, shuffle=False,
+                num_workers=args.num_workers, indices=val_idx),
+            meters_per_pixel=dataset.meters_per_pixel,
+        )
+    else:
+        from ccvpe_tpu.train.evaluate import evaluate_vigor
+        evaluate_vigor(args, ori_noise=ori_noise, circular=circular)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,10 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the tiny end-to-end train step takes minutes
+# to compile on CPU; cache it across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/ccvpe_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 import pytest

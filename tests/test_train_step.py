@@ -1,0 +1,101 @@
+"""End-to-end train step on the tiny config: smoke, overfit, and
+data-parallel sharding equivalence on the fake 8-device CPU mesh
+(SURVEY.md 4: DP gradient psum equals single-device gradient)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccvpe_tpu.core import config as cfg_lib
+from ccvpe_tpu.core.mesh import make_mesh, replicated, shard_batch
+from ccvpe_tpu.train.step import (
+    Batch,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def synthetic_batch(cfg, batch_size, seed=0):
+    rng = np.random.default_rng(seed)
+    hg, wg = cfg.grd_size
+    hs, ws = cfg.sat_size
+    return Batch(
+        grd=jnp.asarray(rng.normal(size=(batch_size, hg, wg, 3)).astype(np.float32)),
+        sat=jnp.asarray(rng.normal(size=(batch_size, hs, ws, 3)).astype(np.float32)),
+        row_offset=jnp.asarray(rng.uniform(-20, 20, size=batch_size).astype(np.float32)),
+        col_offset=jnp.asarray(rng.uniform(-20, 20, size=batch_size).astype(np.float32)),
+        angle_deg=jnp.asarray(rng.uniform(0, 360, size=batch_size).astype(np.float32)),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model_cfg = cfg_lib.tiny()
+    train_cfg = cfg_lib.TrainConfig(batch_size=8, learning_rate=3e-4)
+    model, state, tx = create_train_state(model_cfg, train_cfg,
+                                          jax.random.PRNGKey(17))
+    return model_cfg, train_cfg, model, state, tx
+
+
+def test_train_step_runs_and_decreases_loss(tiny_setup):
+    model_cfg, train_cfg, model, state, tx = tiny_setup
+    step = make_train_step(model, tx, model_cfg, train_cfg, donate=False)
+    batch = synthetic_batch(model_cfg, 8)
+    rng = jax.random.PRNGKey(0)
+    state1, m0 = step(state, batch, rng)
+    losses = [float(m0["loss"])]
+    for _ in range(14):
+        state1, m = step(state1, batch, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    # overfitting one fixed batch must reduce the loss substantially
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_eval_step_outputs(tiny_setup):
+    model_cfg, train_cfg, model, state, tx = tiny_setup
+    eval_step = make_eval_step(model, model_cfg)
+    batch = synthetic_batch(model_cfg, 2)
+    heatmap, ori = eval_step(state.params, state.batch_stats, batch.grd, batch.sat)
+    hs, ws = model_cfg.sat_size
+    assert heatmap.shape == (2, hs, ws, 1)
+    assert ori.shape == (2, hs, ws, 2)
+    np.testing.assert_allclose(np.asarray(heatmap.sum((1, 2, 3))), 1.0, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(ori, axis=-1)), 1.0, atol=1e-3)
+
+
+def test_dp_sharded_grads_match_single_device(tiny_setup):
+    """Data-parallel gradients on an 8-device mesh must match single-device
+    gradients (XLA all-reduce correctness). Gradients, not post-Adam params:
+    Adam's first step is ~lr*sign(g), which amplifies fp noise on near-zero
+    gradients into 2*lr param differences."""
+    from ccvpe_tpu.train.step import make_loss_fn
+
+    model_cfg, train_cfg, model, state, tx = tiny_setup
+    loss_fn = make_loss_fn(model, model_cfg, train_cfg)
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+    batch = synthetic_batch(model_cfg, 8)
+    rng = jax.random.PRNGKey(1)
+
+    g_single, (_, m_single) = grad_fn(state.params, state.batch_stats, batch, rng)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    rep = replicated(mesh)
+    params_rep = jax.device_put(state.params, rep)
+    stats_rep = jax.device_put(state.batch_stats, rep)
+    batch_sharded = shard_batch(mesh, batch)
+    g_dp, (_, m_dp) = grad_fn(params_rep, stats_rep, batch_sharded, rng)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
+                               rtol=2e-4)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_single),
+            jax.tree_util.tree_leaves_with_path(g_dp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-3, float(np.abs(a).max()))
+        np.testing.assert_allclose(a, b, atol=5e-4 * scale,
+                                   err_msg=str(path))
