@@ -17,8 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # Measured in-container: reference PyTorch-CPU CVM_VIGOR train step
-# (batch 8, forward+losses+backward+Adam). See tools/bench_torch_baseline.py.
-TORCH_CPU_PAIRS_PER_S = 0.145
+# (batch 8, forward+losses+backward+Adam, 185.1 s/step averaged over 3 steps
+# after warmup). See tools/bench_torch_baseline.py.
+TORCH_CPU_PAIRS_PER_S = 0.0432
 
 BATCH = 8
 WARMUP = 3

@@ -76,7 +76,7 @@ class ThreadedLoader:
         stop = threading.Event()
 
         def fetch(i: int) -> Any:
-            rng = random.Random((self.seed, self.epoch, i))
+            rng = random.Random(f"{self.seed}/{self.epoch}/{i}")
             try:
                 return self.dataset.__getitem__(i, rng=rng)
             except TypeError:

