@@ -29,9 +29,8 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, extra: Optional[dict] = None) -> None:
         import orbax.checkpoint as ocp
-        payload = {"state": state}
-        if extra:
-            payload["extra"] = extra
+        # stable payload schema so restore templates always match
+        payload = {"state": state, "epoch": int((extra or {}).get("epoch", 0))}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
     def restore_latest(self, template: Any) -> Optional[Any]:
@@ -40,7 +39,7 @@ class CheckpointManager:
         if step is None:
             return None
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore({"state": template}))
+            step, args=ocp.args.StandardRestore({"state": template, "epoch": 0}))
         return restored["state"]
 
     def latest_step(self) -> Optional[int]:

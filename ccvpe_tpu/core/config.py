@@ -66,6 +66,16 @@ class ModelConfig:
     # 'xla', or 'pallas'
     corr_impl: str = "auto"
 
+    # computation dtype for the conv-heavy paths (encoders, decoders);
+    # params, BN, correlation, losses stay float32. 'bfloat16' targets the
+    # v5e MXU peak; 'float32' for strict parity testing.
+    compute_dtype: str = "float32"
+
+    # Optional mesh axis name for spatial (height) sharding of the decoder
+    # activations - the TP analog for large aerial tiles (SURVEY.md 2.4).
+    # XLA SPMD partitions the convs and inserts halo exchanges. None = pure DP.
+    spatial_axis: Optional[str] = None
+
     # --- ori-prior restricted search (models.py:489, train_VIGOR.py:49) ---
     # None = full K-bin search. Otherwise degrees of orientation noise; the
     # matching loop for localization is restricted to bins
@@ -126,6 +136,8 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
     log_every: int = 200
+    checkpoint_every_steps: Optional[int] = None  # None = per epoch only
+    fake_fail_at_step: Optional[int] = None       # fault injection for resume tests
 
 
 def vigor(ori_noise: Optional[float] = None, circular: bool = True) -> ModelConfig:

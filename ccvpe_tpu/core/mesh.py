@@ -59,3 +59,13 @@ def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays with the leading dim sharded on 'data'."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def all_hosts_gather(x):
+    """Gather a per-host numpy array across processes (eval metric
+    aggregation; no-op single-process). Uses jax.experimental.multihost_utils
+    over DCN."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x)))

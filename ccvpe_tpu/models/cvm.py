@@ -43,11 +43,22 @@ class CVM(nn.Module):
     def __call__(self, grd: jnp.ndarray, sat: jnp.ndarray,
                  train: bool = False) -> CVMOutput:
         cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+
+        def spatial_constraint(t):
+            """Shard activation height over the model axis (TP analog for
+            large aerial tiles); XLA SPMD partitions convs + inserts halo
+            exchange for the 3x3 kernels. No-op without cfg.spatial_axis."""
+            if cfg.spatial_axis is None or t.shape[1] < 8:
+                return t
+            from jax.sharding import PartitionSpec as P
+            return jax.lax.with_sharding_constraint(
+                t, P(None, cfg.spatial_axis, None, None))
 
         # --- encoders ---
-        grd_feat, _ = EfficientNetB0(circular=cfg.circular,
+        grd_feat, _ = EfficientNetB0(circular=cfg.circular, dtype=dtype,
                                      name="grd_encoder")(grd, train)
-        sat_feat, sat_multiscale = EfficientNetB0(circular=False,
+        sat_feat, sat_multiscale = EfficientNetB0(circular=False, dtype=dtype,
                                                   name="sat_encoder")(sat, train)
         # Skip connections: the LAST backbone block at each spatial resolution.
         # For a 512^2 aerial input this selects blocks 15,10,4,2,0 with
@@ -95,9 +106,11 @@ class CVM(nn.Module):
             x = DecoderStage(
                 deconv_out=cfg.loc_deconv_out[s],
                 conv_out=cfg.loc_conv_out[s] if s < n - 1 else None,
-                name=f"loc_stage{s + 1}",
+                dtype=dtype, name=f"loc_stage{s + 1}",
             )(x, skip)
-        logits_map = HeadConv(cfg.head_hidden, 1, name="loc_head")(x)
+            x = spatial_constraint(x)
+        logits_map = HeadConv(cfg.head_hidden, 1, dtype=dtype,
+                              name="loc_head")(x)
 
         b = logits_map.shape[0]
         logits = logits_map.reshape(b, -1)
@@ -110,9 +123,10 @@ class CVM(nn.Module):
             y = DecoderStage(
                 deconv_out=cfg.ori_deconv_out[s],
                 conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,
-                name=f"ori_stage{s + 1}",
+                dtype=dtype, name=f"ori_stage{s + 1}",
             )(y, skip)
-        ori = HeadConv(cfg.head_hidden, 2, name="ori_head")(y)
+            y = spatial_constraint(y)
+        ori = HeadConv(cfg.head_hidden, 2, dtype=dtype, name="ori_head")(y)
         ori = l2_normalize(ori)   # per-pixel over (cos, sin) (models.py:341)
 
         return CVMOutput(logits, heatmap, ori, tuple(all_scores))

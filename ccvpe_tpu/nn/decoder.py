@@ -18,7 +18,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,6 +31,7 @@ class Deconv2x2(nn.Module):
     """
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -38,7 +39,9 @@ class Deconv2x2(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (2, 2, c, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jnp.einsum("bhwc,ijco->bhiwjo", x, kernel)
+        y = jnp.einsum("bhwc,ijco->bhiwjo", x.astype(self.dtype),
+                       kernel.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
         y = y.reshape(b, 2 * h, 2 * w, self.features)
         return y + bias
 
@@ -47,12 +50,15 @@ class DoubleConv(nn.Module):
     """Conv3x3(pad 1) -> ReLU -> Conv3x3(pad 1) (models.py:42-47)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.features, (3, 3), padding=1, name="conv_a")(x)
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_a")(x)
         x = nn.relu(x)
-        return nn.Conv(self.features, (3, 3), padding=1, name="conv_b")(x)
+        return nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_b")(x)
 
 
 class HeadConv(nn.Module):
@@ -61,12 +67,16 @@ class HeadConv(nn.Module):
 
     hidden: int
     out: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.hidden, (3, 3), padding=1, name="conv_a")(x)
+        x = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_a")(x)
         x = nn.relu(x)
-        return nn.Conv(self.out, (3, 3), padding=1, name="conv_b")(x)
+        y = nn.Conv(self.out, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_b")(x)
+        return y.astype(jnp.float32)
 
 
 class DecoderStage(nn.Module):
@@ -74,12 +84,13 @@ class DecoderStage(nn.Module):
 
     deconv_out: int
     conv_out: Optional[int]   # None for the final stage (head applied outside)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray]) -> jnp.ndarray:
-        x = Deconv2x2(self.deconv_out, name="deconv")(x)
+        x = Deconv2x2(self.deconv_out, dtype=self.dtype, name="deconv")(x)
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         if self.conv_out is not None:
-            x = DoubleConv(self.conv_out, name="conv")(x)
+            x = DoubleConv(self.conv_out, dtype=self.dtype, name="conv")(x)
         return x

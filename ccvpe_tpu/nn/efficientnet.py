@@ -18,7 +18,7 @@ Differences from the reference implementation (intentional, TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,14 +92,15 @@ class SqueezeExcite(nn.Module):
     (model.py:112-118)."""
 
     reduced: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.reduced, (1, 1), name="reduce")(s)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="reduce")(s)
         s = swish(s)
-        s = nn.Conv(x.shape[-1], (1, 1), name="expand")(s)
-        return jax.nn.sigmoid(s) * x
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype) * x
 
 
 class MBConv(nn.Module):
@@ -114,25 +115,30 @@ class MBConv(nn.Module):
     pad_w: Tuple[int, int]
     circular: bool
     drop_rate: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inputs = x
         mid = self.in_filters * self.expand_ratio
         if self.expand_ratio != 1:
-            x = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(x)
             x = BatchNorm(name="bn0")(x, train)
             x = swish(x)
-        x = pad_same(x, self.pad_h, self.pad_w, circular=self.circular)
+        x = pad_same(x.astype(self.dtype), self.pad_h, self.pad_w,
+                     circular=self.circular)
         x = nn.Conv(
             mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
             padding="VALID", use_bias=False, feature_group_count=mid,
-            name="depthwise_conv",
+            dtype=self.dtype, name="depthwise_conv",
         )(x)
         x = BatchNorm(name="bn1")(x, train)
         x = swish(x)
-        x = SqueezeExcite(max(1, int(self.in_filters * SE_RATIO)), name="se")(x)
-        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, name="project_conv")(x)
+        x = SqueezeExcite(max(1, int(self.in_filters * SE_RATIO)),
+                          dtype=self.dtype, name="se")(x)
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(x.astype(self.dtype))
         x = BatchNorm(name="bn2")(x, train)
         if self.stride == 1 and self.in_filters == self.out_filters:
             if train and self.drop_rate > 0:
@@ -143,7 +149,7 @@ class MBConv(nn.Module):
                     keep + jax.random.uniform(rng, (x.shape[0], 1, 1, 1), x.dtype)
                 )
                 x = x / keep * mask
-            x = x + inputs
+            x = x + inputs.astype(x.dtype)
         return x
 
 
@@ -152,6 +158,7 @@ class EfficientNetB0(nn.Module):
 
     circular: bool = False
     head_features: int = 1280
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -159,9 +166,9 @@ class EfficientNetB0(nn.Module):
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         pads = traced_same_pads()
         (ph, pw) = pads[0]
-        x = pad_same(x, ph, pw, circular=self.circular)
+        x = pad_same(x.astype(self.dtype), ph, pw, circular=self.circular)
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="VALID", use_bias=False,
-                    name="stem_conv")(x)
+                    dtype=self.dtype, name="stem_conv")(x)
         x = BatchNorm(name="stem_bn")(x, train)
         x = swish(x)
 
@@ -173,11 +180,12 @@ class EfficientNetB0(nn.Module):
                 expand_ratio=e, in_filters=cin, out_filters=cout, kernel=k,
                 stride=s, pad_h=ph, pad_w=pw, circular=self.circular,
                 drop_rate=DROP_CONNECT_RATE * i / n,   # model.py:262-264
-                name=f"block{i}",
+                dtype=self.dtype, name=f"block{i}",
             )(x, train)
             multiscale.append(x)
 
-        x = nn.Conv(self.head_features, (1, 1), use_bias=False, name="head_conv")(x)
+        x = nn.Conv(self.head_features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="head_conv")(x.astype(self.dtype))
         x = BatchNorm(name="head_bn")(x, train)
         x = swish(x)
         return x, multiscale

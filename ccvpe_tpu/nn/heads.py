@@ -64,6 +64,9 @@ class SatDescriptorHead(nn.Module):
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """F.normalize(p=2) semantics (models.py:33-40): x / max(||x||, eps)."""
+    """F.normalize(p=2) semantics (models.py:33-40): x / max(||x||, eps).
+    Computed in float32 regardless of input dtype (norms are
+    cancellation-sensitive under bf16)."""
+    x = x.astype(jnp.float32)
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
     return x / jnp.maximum(n, eps)

@@ -87,6 +87,8 @@ def rolled_corr(
     """
     if bins is None:
         bins = tuple(range(num_bins))
+    sat = sat.astype(jnp.float32)   # cosine scores are precision-sensitive
+    grd = grd.astype(jnp.float32)
     total_dim = sat.shape[-1]
     g_mat, m_mat = build_roll_matrices(grd, total_dim, shift, bins, center)
     # accumulate in f32 on the MXU

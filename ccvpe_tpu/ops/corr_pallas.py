@@ -124,6 +124,8 @@ def rolled_corr_pallas(sat: jnp.ndarray, grd: jnp.ndarray, shift: int,
     if bins is None:
         bins = tuple(range(num_bins))
     bins = tuple(bins)
+    sat = sat.astype(jnp.float32)   # cosine scores are precision-sensitive
+    grd = grd.astype(jnp.float32)
     b, h, w, d = sat.shape
     g_mat, m_mat = build_roll_matrices(grd, d, shift, bins, center)
     g_norm = jnp.linalg.norm(grd, axis=-1)

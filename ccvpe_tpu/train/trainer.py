@@ -51,11 +51,11 @@ class Trainer:
         self.metrics = MetricWriter(workdir, model_cfg.name)
         self.ckpt = CheckpointManager(
             f"{workdir}/{train_cfg.checkpoint_dir}", keep=train_cfg.keep_checkpoints)
-        self.start_epoch = 0
+        self.restored = False
         restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, self.state))
         if restored is not None:
             self.state = jax.device_put(restored, replicated(self.mesh))
-            self.start_epoch = int(self.state.step) // max(1, getattr(self, "_spe", 1))
+            self.restored = True
             print(f"resumed from step {int(self.state.step)}")
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
@@ -66,6 +66,16 @@ class Trainer:
             batch = shard_batch(self.mesh, batch_from_numpy(raw))
             self.state, m = self.train_step(self.state, batch, rng)
             running.append(m)
+            every = self.train_cfg.checkpoint_every_steps
+            if every and int(self.state.step) % every == 0:
+                self.ckpt.save(int(self.state.step),
+                               jax.tree.map(np.asarray, self.state),
+                               extra={"epoch": epoch})
+            if (self.train_cfg.fake_fail_at_step is not None
+                    and int(self.state.step) == self.train_cfg.fake_fail_at_step):
+                self.ckpt.wait()
+                raise RuntimeError(
+                    f"fake failure injected at step {int(self.state.step)}")
             if (i + 1) % self.train_cfg.log_every == 0:
                 vals = {k: float(np.mean([float(r[k]) for r in running]))
                         for k in running[0]}
@@ -108,7 +118,12 @@ class Trainer:
     def fit(self, train_loader_fn, val_loader_fn, meters_per_pixel,
             epochs: Optional[int] = None) -> None:
         rng = jax.random.PRNGKey(self.train_cfg.seed + 1)
-        for epoch in range(self.start_epoch, epochs or self.train_cfg.epochs):
+        total_epochs = epochs or self.train_cfg.epochs
+        start_epoch = 0
+        if self.restored:
+            spe = max(1, len(train_loader_fn(0)))
+            start_epoch = min(int(self.state.step) // spe, total_epochs)
+        for epoch in range(start_epoch, total_epochs):
             self.train_epoch(train_loader_fn(epoch), epoch, rng)
             self.validate(val_loader_fn(epoch), meters_per_pixel, epoch)
         self.ckpt.wait()

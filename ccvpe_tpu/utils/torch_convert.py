@@ -131,6 +131,36 @@ def convert_cvm(sd: Mapping[str, Array], num_scales: int = 6) -> Tuple[Flat, Fla
     return params, stats
 
 
+def init_with_pretrained_backbone(variables: Dict[str, Any],
+                                  backbone_sd: Mapping[str, Array]
+                                  ) -> Dict[str, Any]:
+    """Fill BOTH encoders of freshly-initialized CVM variables from a single
+    ImageNet EfficientNet-B0 state dict (the reference initializes grd and sat
+    encoders from the same pretrained weights, models.py:55,99; FC head
+    dropped, utils.py:729-758). Heads/decoders keep their random init.
+
+    `backbone_sd` is the torch state dict as numpy (e.g.
+    {k: v.numpy() for k, v in torch.load('efficientnet-b0-355c32eb.pth').items()}).
+    """
+    params, stats = convert_backbone(backbone_sd)
+    out_p = dict(flatten(variables["params"]))
+    out_s = dict(flatten(variables.get("batch_stats", {})))
+    for enc in ("grd_encoder", "sat_encoder"):
+        for k, v in params.items():
+            key = (enc,) + k
+            if key not in out_p:
+                raise KeyError(f"unexpected backbone param {key}")
+            if tuple(out_p[key].shape) != tuple(v.shape):
+                raise ValueError(f"{key}: {v.shape} != {out_p[key].shape}")
+            out_p[key] = v.astype(np.float32)
+        for k, v in stats.items():
+            out_s[(enc,) + k] = v.astype(np.float32)
+    result = {"params": unflatten(out_p)}
+    if out_s:
+        result["batch_stats"] = unflatten(out_s)
+    return result
+
+
 def unflatten(flat: Flat) -> Dict[str, Any]:
     tree: Dict[str, Any] = {}
     for path, value in flat.items():

@@ -29,6 +29,40 @@ def golden():
     return np.load(GOLDEN)
 
 
+def test_pretrained_backbone_init(golden):
+    """ImageNet-B0 style init: both CVM encoders filled from one backbone
+    state dict, heads left at random init (reference models.py:55,99)."""
+    import jax.numpy as jnp
+    from ccvpe_tpu.core import config as cfg_lib
+    from ccvpe_tpu.models.cvm import CVM
+    from ccvpe_tpu.utils.torch_convert import init_with_pretrained_backbone
+
+    sd = {k[len("plain/sd/"):]: golden[k] for k in golden.files
+          if k.startswith("plain/sd/")}
+    cfg = cfg_lib.tiny()
+    model = CVM(cfg)
+    hg, wg = cfg.grd_size
+    hs, ws = cfg.sat_size
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, hg, wg, 3)), jnp.zeros((1, hs, ws, 3)),
+                           False)
+    filled = init_with_pretrained_backbone(variables, sd)
+    # encoder weights come from the state dict
+    got = np.asarray(filled["params"]["grd_encoder"]["stem_conv"]["kernel"])
+    want = sd["_conv_stem.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(got, want)
+    got_sat = np.asarray(filled["params"]["sat_encoder"]["stem_conv"]["kernel"])
+    np.testing.assert_array_equal(got_sat, want)
+    # BN running stats transferred
+    np.testing.assert_array_equal(
+        np.asarray(filled["batch_stats"]["sat_encoder"]["head_bn"]["bn"]["mean"]),
+        sd["_bn1.running_mean"])
+    # heads keep their random init
+    np.testing.assert_array_equal(
+        np.asarray(filled["params"]["sat_desc"]["linear"]["kernel"]),
+        np.asarray(variables["params"]["sat_desc"]["linear"]["kernel"]))
+
+
 @pytest.mark.parametrize("tag", ["plain", "circular"])
 def test_backbone_parity(golden, tag):
     sd = {k[len(f"{tag}/sd/"):]: golden[k] for k in golden.files
