@@ -9,8 +9,7 @@ jit), and an optional 'model' axis for spatial/orientation-axis sharding.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

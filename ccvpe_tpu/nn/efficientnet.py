@@ -17,8 +17,7 @@ Differences from the reference implementation (intentional, TPU-first):
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,31 +45,6 @@ DROP_CONNECT_RATE = 0.2  # utils.py:628
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
-
-
-class PaddedConv(nn.Module):
-    """Conv with static pre-computed SAME padding (optionally circular in W)."""
-
-    features: int
-    kernel: int
-    stride: int
-    pad_h: Tuple[int, int]
-    pad_w: Tuple[int, int]
-    circular: bool = False
-    groups: int = 1
-
-    @nn.compact
-    def __call__(self, x):
-        x = pad_same(x, self.pad_h, self.pad_w, circular=self.circular)
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="VALID",
-            use_bias=False,
-            feature_group_count=self.groups,
-            name="conv",
-        )(x)
 
 
 class BatchNorm(nn.Module):

@@ -137,7 +137,7 @@ def evaluate_kitti(args) -> Dict[str, Dict[str, float]]:
                         pose.recalls(np.array(longi)).items()})
         summary.update({f"lat_{k}": v for k, v in
                         pose.recalls(np.array(lat)).items()})
-        summary.update({f"ori_{k.replace('recall@', 'recall@deg')}": v for k, v in
+        summary.update({k.replace("recall@", "ori_recall@") + "deg": v for k, v in
                         pose.recalls(np.array(ori_err)).items()})
         results[name] = summary
         print(name, summary)

@@ -13,14 +13,11 @@ are replicated; XLA inserts the gradient all-reduce under jit.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from ccvpe_tpu.core.config import ModelConfig, TrainConfig
 from ccvpe_tpu.models.cvm import CVM, CVMOutput

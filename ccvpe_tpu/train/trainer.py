@@ -36,6 +36,22 @@ def batch_from_numpy(b: Dict[str, np.ndarray]) -> Batch:
     )
 
 
+def device_prefetch(loader: Iterable[Dict[str, np.ndarray]], mesh, depth: int = 2):
+    """Iterate a host loader one step ahead, overlapping host decode + H2D
+    transfer with device compute (jax transfers are async)."""
+    import collections
+    buf = collections.deque()
+    it = iter(loader)
+    try:
+        while True:
+            while len(buf) < depth:
+                buf.append(shard_batch(mesh, batch_from_numpy(next(it))))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()
+
+
 class Trainer:
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
                  workdir: str = "runs/default"):
@@ -62,8 +78,7 @@ class Trainer:
                     epoch: int, rng: jax.Array) -> None:
         t_last = time.time()
         running = []
-        for i, raw in enumerate(loader):
-            batch = shard_batch(self.mesh, batch_from_numpy(raw))
+        for i, batch in enumerate(device_prefetch(loader, self.mesh)):
             self.state, m = self.train_step(self.state, batch, rng)
             running.append(m)
             every = self.train_cfg.checkpoint_every_steps
