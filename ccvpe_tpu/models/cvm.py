@@ -86,10 +86,13 @@ class CVM(nn.Module):
         # --- bottleneck matching ---
         # Localization branch may use a restricted bin range under an
         # orientation prior (models.py:489-499); the orientation branch always
-        # sees the full K-bin stack (models.py:501-511).
+        # sees the full K-bin stack (models.py:501-511). Note the reference
+        # RETURNS the full stack at the bottleneck (the restricted one is
+        # consumed only by the max; the variable is reassigned at
+        # models.py:508-511) while scales 2..6 return restricted stacks.
         scores_full = match(sat_desc, 0)
         scores_loc = match(sat_desc, 0, bins=restricted) if restricted else scores_full
-        all_scores: List[jnp.ndarray] = [scores_loc]
+        all_scores: List[jnp.ndarray] = [scores_full]
 
         # --- localization decoder with per-scale matching ---
         x = sat_desc
