@@ -129,6 +129,9 @@ class TrainConfig:
     weight_infonce: float = 1e4
     weight_ori: float = 1e1
     temperature: float = 0.1     # infoNCE temperature (losses.py:4)
+    # pool the infoNCE denominator over the global batch (harder negatives);
+    # False reproduces the reference's per-sample denominator exactly
+    infonce_global_negatives: bool = False
     seed: int = 17
     # sharding
     data_axis: str = "data"

@@ -15,13 +15,25 @@ import jax.numpy as jnp
 
 
 def infonce_loss(scores: jnp.ndarray, labels: jnp.ndarray,
-                 temperature: float = 0.1) -> jnp.ndarray:
+                 temperature: float = 0.1,
+                 global_negatives: bool = False) -> jnp.ndarray:
     """Contrastive loss over flattened matching scores (losses.py:4-20).
 
     Positives are elements with GT likelihood > 1e-2, weighted by that
     likelihood:  -sum_i w_i * log softmax(s/T)_i / sum_i w_i.
+
+    global_negatives=False reproduces the reference exactly: the softmax
+    denominator is per-sample (losses.py:16), so plain data parallelism
+    needs no cross-shard term. global_negatives=True pools the denominator
+    over the whole (global) batch - a strictly harder contrastive task; the
+    cross-shard reduction is inserted by XLA automatically when the batch is
+    sharded.
     """
-    logp = jax.nn.log_softmax(scores / temperature, axis=1)
+    if global_negatives:
+        logz = jax.nn.logsumexp(scores / temperature)  # scalar over batch+pixels
+        logp = scores / temperature - logz
+    else:
+        logp = jax.nn.log_softmax(scores / temperature, axis=1)
     w = jnp.where(labels > 1e-2, labels, 0.0)
     return -jnp.sum(w * logp) / jnp.sum(w)
 

@@ -88,7 +88,8 @@ def compute_losses(model_cfg: ModelConfig, train_cfg: TrainConfig,
         (gt_s,) = maxpool_pyramid(gt_with_ori, (factor,))
         # reference flattens NCHW (K, h, w) - order only permutes the sum
         nce_terms.append(infonce_loss(
-            s.reshape(b, -1), gt_s.reshape(b, -1), train_cfg.temperature))
+            s.reshape(b, -1), gt_s.reshape(b, -1), train_cfg.temperature,
+            global_negatives=train_cfg.infonce_global_negatives))
     loss_nce = sum(nce_terms) / len(nce_terms)
 
     total = (loss_ce + train_cfg.weight_infonce * loss_nce

@@ -131,6 +131,91 @@ def convert_cvm(sd: Mapping[str, Array], num_scales: int = 6) -> Tuple[Flat, Fla
     return params, stats
 
 
+def _conv_inv(w: Array) -> Array:
+    return np.ascontiguousarray(np.asarray(w).transpose(3, 2, 0, 1))
+
+
+def _deconv_inv(w: Array) -> Array:
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 0, 1))
+
+
+def export_cvm(params: Mapping[str, Any], batch_stats: Mapping[str, Any],
+               num_scales: int = 6) -> Dict[str, Array]:
+    """Inverse of convert_cvm: this framework's CVM variables -> a reference-
+    format state dict (torch names/layouts, models.py:49-148), so checkpoints
+    trained here can be evaluated with the original PyTorch scripts.
+
+    Returns numpy arrays; save with
+    `torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)`.
+    """
+    p = flatten(params)
+    s = flatten(batch_stats)
+    sd: Dict[str, Array] = {}
+
+    def bn(path: Tuple[str, ...], torch_name: str):
+        sd[f"{torch_name}.weight"] = np.asarray(p[path + ("bn", "scale")])
+        sd[f"{torch_name}.bias"] = np.asarray(p[path + ("bn", "bias")])
+        sd[f"{torch_name}.running_mean"] = np.asarray(s[path + ("bn", "mean")])
+        sd[f"{torch_name}.running_var"] = np.asarray(s[path + ("bn", "var")])
+        sd[f"{torch_name}.num_batches_tracked"] = np.asarray(0)
+
+    for enc, torch_enc in (("grd_encoder", "grd_efficientnet"),
+                           ("sat_encoder", "sat_efficientnet")):
+        sd[f"{torch_enc}._conv_stem.weight"] = _conv_inv(p[(enc, "stem_conv", "kernel")])
+        bn((enc, "stem_bn"), f"{torch_enc}._bn0")
+        i = 0
+        while (enc, f"block{i}", "depthwise_conv", "kernel") in p:
+            blk = (enc, f"block{i}")
+            t = f"{torch_enc}._blocks.{i}."
+            if blk + ("expand_conv", "kernel") in p:
+                sd[t + "_expand_conv.weight"] = _conv_inv(p[blk + ("expand_conv", "kernel")])
+                bn(blk + ("bn0",), t + "_bn0")
+            sd[t + "_depthwise_conv.weight"] = _conv_inv(p[blk + ("depthwise_conv", "kernel")])
+            bn(blk + ("bn1",), t + "_bn1")
+            sd[t + "_se_reduce.weight"] = _conv_inv(p[blk + ("se", "reduce", "kernel")])
+            sd[t + "_se_reduce.bias"] = np.asarray(p[blk + ("se", "reduce", "bias")])
+            sd[t + "_se_expand.weight"] = _conv_inv(p[blk + ("se", "expand", "kernel")])
+            sd[t + "_se_expand.bias"] = np.asarray(p[blk + ("se", "expand", "bias")])
+            sd[t + "_project_conv.weight"] = _conv_inv(p[blk + ("project_conv", "kernel")])
+            bn(blk + ("bn2",), t + "_bn2")
+            i += 1
+        sd[f"{torch_enc}._conv_head.weight"] = _conv_inv(p[(enc, "head_conv", "kernel")])
+        bn((enc, "head_bn"), f"{torch_enc}._bn1")
+
+    for n in range(1, num_scales + 1):
+        path = (f"grd_desc{n}",)
+        t = f"grd_feature_to_descriptor{n}."
+        sd[t + "0.weight"] = _conv_inv(p[path + ("compress", "kernel")])
+        sd[t + "0.bias"] = np.asarray(p[path + ("compress", "bias")])
+        hw = np.asarray(p[path + ("h_weight",)])
+        sd[t + "2.weight"] = hw.reshape(1, hw.shape[1], 1, 1)
+        sd[t + "2.bias"] = np.asarray(p[path + ("h_bias",)])
+
+    sd["sat_feature_to_descriptors.1.weight"] = np.asarray(
+        p[("sat_desc", "linear", "kernel")]).T
+    sd["sat_feature_to_descriptors.1.bias"] = np.asarray(
+        p[("sat_desc", "linear", "bias")])
+
+    def double_conv(path: Tuple[str, ...], torch_name: str):
+        sd[f"{torch_name}.0.weight"] = _conv_inv(p[path + ("conv_a", "kernel")])
+        sd[f"{torch_name}.0.bias"] = np.asarray(p[path + ("conv_a", "bias")])
+        sd[f"{torch_name}.2.weight"] = _conv_inv(p[path + ("conv_b", "kernel")])
+        sd[f"{torch_name}.2.bias"] = np.asarray(p[path + ("conv_b", "bias")])
+
+    for st in range(num_scales):
+        ref_n = num_scales - st
+        for branch, suffix in (("loc", ""), ("ori", "_ori")):
+            stage = (f"{branch}_stage{st + 1}",)
+            sd[f"deconv{ref_n}{suffix}.weight"] = _deconv_inv(
+                p[stage + ("deconv", "kernel")])
+            sd[f"deconv{ref_n}{suffix}.bias"] = np.asarray(p[stage + ("deconv", "bias")])
+            if ref_n > 1:
+                double_conv(stage + ("conv",), f"conv{ref_n}{suffix}")
+    double_conv(("loc_head",), "conv1")
+    double_conv(("ori_head",), "conv1_ori")
+    return sd
+
+
 def init_with_pretrained_backbone(variables: Dict[str, Any],
                                   backbone_sd: Mapping[str, Array]
                                   ) -> Dict[str, Any]:
