@@ -71,6 +71,11 @@ class ModelConfig:
     # v5e MXU peak; 'float32' for strict parity testing.
     compute_dtype: str = "float32"
 
+    # Rematerialize (jax.checkpoint) each backbone block: trades ~1 extra
+    # forward of the encoders in backward for a large cut in stored
+    # activations - useful for big batches / big tiles.
+    remat_backbone: bool = False
+
     # Optional mesh axis name for spatial (height) sharding of the decoder
     # activations - the TP analog for large aerial tiles (SURVEY.md 2.4).
     # XLA SPMD partitions the convs and inserts halo exchanges. None = pure DP.

@@ -57,8 +57,10 @@ class CVM(nn.Module):
 
         # --- encoders ---
         grd_feat, _ = EfficientNetB0(circular=cfg.circular, dtype=dtype,
+                                     remat=cfg.remat_backbone,
                                      name="grd_encoder")(grd, train)
         sat_feat, sat_multiscale = EfficientNetB0(circular=False, dtype=dtype,
+                                                  remat=cfg.remat_backbone,
                                                   name="sat_encoder")(sat, train)
         # Skip connections: the LAST backbone block at each spatial resolution.
         # For a 512^2 aerial input this selects blocks 15,10,4,2,0 with

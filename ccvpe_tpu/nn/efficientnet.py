@@ -133,6 +133,7 @@ class EfficientNetB0(nn.Module):
     circular: bool = False
     head_features: int = 1280
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -146,11 +147,12 @@ class EfficientNetB0(nn.Module):
         x = BatchNorm(name="stem_bn")(x, train)
         x = swish(x)
 
+        block_cls = nn.remat(MBConv, static_argnums=(2,)) if self.remat else MBConv
         multiscale = []
         n = len(B0_BLOCK_SPECS)
         for i, (e, cin, cout, k, s) in enumerate(B0_BLOCK_SPECS):
             ph, pw = pads[1 + i]
-            x = MBConv(
+            x = block_cls(
                 expand_ratio=e, in_filters=cin, out_filters=cout, kernel=k,
                 stride=s, pad_h=ph, pad_w=pw, circular=self.circular,
                 drop_rate=DROP_CONNECT_RATE * i / n,   # model.py:262-264
