@@ -29,16 +29,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 # after warmup). See tools/bench_torch_baseline.py.
 TORCH_CPU_PAIRS_PER_S = 0.0432
 
-BATCH = 8
+# Throughput-optimal single-chip configuration (docs/PERFORMANCE.md):
+# backbone rematerialization is gradient-identical and removes the
+# activation-traffic bottleneck; batch 32 is the v5e sweet spot (64 OOMs).
+BATCH = 32
 WARMUP = 3
 ITERS = 10
 
 
 def main():
+    import dataclasses
+
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
-    model_cfg = cfg_lib.vigor()
+    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True)
     train_cfg = cfg_lib.TrainConfig(batch_size=BATCH)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
