@@ -75,6 +75,9 @@ class ModelConfig:
     # forward of the encoders in backward for a large cut in stored
     # activations - useful for big batches / big tiles.
     remat_backbone: bool = False
+    # Rematerialize each decoder stage as well (the 512^2 activations are the
+    # largest); enables batch sizes beyond the remat_backbone ceiling.
+    remat_decoder: bool = False
 
     # Optional mesh axis name for spatial (height) sharding of the decoder
     # activations - the TP analog for large aerial tiles (SURVEY.md 2.4).

@@ -77,6 +77,8 @@ class CVM(nn.Module):
                                      name="sat_desc")(sat_feat)  # [B,g,g,D]
 
         restricted = cfg.restricted_bins
+        stage_cls = (nn.remat(DecoderStage) if cfg.remat_decoder
+                     else DecoderStage)
 
         def match(x, scale_idx, bins=None):
             return rolled_corr_dispatch(
@@ -108,7 +110,7 @@ class CVM(nn.Module):
             score_max = jnp.max(scores_s, axis=-1, keepdims=True)
             x = jnp.concatenate([score_max, l2_normalize(x)], axis=-1)
             skip = skip_by_size.get(x.shape[1] * 2) if s < n - 1 else None
-            x = DecoderStage(
+            x = stage_cls(
                 deconv_out=cfg.loc_deconv_out[s],
                 conv_out=cfg.loc_conv_out[s] if s < n - 1 else None,
                 dtype=dtype, name=f"loc_stage{s + 1}",
@@ -125,7 +127,7 @@ class CVM(nn.Module):
         y = jnp.concatenate([scores_full, l2_normalize(sat_desc)], axis=-1)
         for s in range(n):
             skip = skip_by_size.get(y.shape[1] * 2) if s < n - 1 else None
-            y = DecoderStage(
+            y = stage_cls(
                 deconv_out=cfg.ori_deconv_out[s],
                 conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,
                 dtype=dtype, name=f"ori_stage{s + 1}",

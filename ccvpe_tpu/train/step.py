@@ -21,7 +21,7 @@ import optax
 
 from ccvpe_tpu.core.config import ModelConfig, TrainConfig
 from ccvpe_tpu.models.cvm import CVM, CVMOutput
-from ccvpe_tpu.ops.gt import maxpool_pyramid, render_gt
+from ccvpe_tpu.ops.gt import maxpool_pyramid
 from ccvpe_tpu.train.losses import cross_entropy_loss, infonce_loss, orientation_loss
 
 
@@ -69,12 +69,16 @@ def _reversed_bins(model_cfg: ModelConfig) -> bool:
 
 def compute_losses(model_cfg: ModelConfig, train_cfg: TrainConfig,
                    out: CVMOutput, batch: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    from ccvpe_tpu.ops.gt import gaussian_heatmap, orientation_bin_weights
+
     hs, ws = batch.sat.shape[1:3]
-    gt, gt_with_ori, gt_ori = render_gt(
-        hs, ws, model_cfg.num_bins,
-        batch.row_offset, batch.col_offset, batch.angle_deg,
-        reversed_order=_reversed_bins(model_cfg),
-    )
+    gt = gaussian_heatmap(hs, ws, batch.row_offset, batch.col_offset)
+    bin_w = orientation_bin_weights(batch.angle_deg, model_cfg.num_bins,
+                                    _reversed_bins(model_cfg))  # [B, K]
+    rad = batch.angle_deg * (jnp.pi / 180.0)
+    gt_ori = jnp.stack([jnp.cos(rad), jnp.sin(rad)], axis=-1)[:, None, None, :]
+    gt_ori = jnp.broadcast_to(gt_ori, (*gt.shape[:3], 2))
+
     b = gt.shape[0]
     gt_flat = gt.reshape(b, -1)
     gt_flat = gt_flat / jnp.sum(gt_flat, axis=1, keepdims=True)
@@ -85,7 +89,13 @@ def compute_losses(model_cfg: ModelConfig, train_cfg: TrainConfig,
     nce_terms = []
     for s in out.matching_scores:
         factor = hs // s.shape[1]
-        (gt_s,) = maxpool_pyramid(gt_with_ori, (factor,))
+        # gt_with_ori = gaussian * w_k with w_k >= 0 per-sample scalars, so
+        # maxpool(gaussian * w_k) = w_k * maxpool(gaussian): pool the
+        # 1-channel gaussian and outer-product with the bin weights instead
+        # of materializing the [B, H, W, K] map (reference builds the full
+        # map host-side, datasets.py:153-162 + train_VIGOR.py:123-128).
+        (gt_pool,) = maxpool_pyramid(gt, (factor,))       # [B, h, w, 1]
+        gt_s = gt_pool * bin_w[:, None, None, :]          # [B, h, w, K]
         # reference flattens NCHW (K, h, w) - order only permutes the sum
         nce_terms.append(infonce_loss(
             s.reshape(b, -1), gt_s.reshape(b, -1), train_cfg.temperature,
