@@ -33,8 +33,8 @@ TORCH_CPU_PAIRS_PER_S = 0.0432
 # backbone rematerialization is gradient-identical and removes the
 # activation-traffic bottleneck; batch 32 is the v5e sweet spot (64 OOMs).
 BATCH = 32
-WARMUP = 3
-ITERS = 10
+WARMUP = 5
+ITERS = 30
 
 
 def main():
