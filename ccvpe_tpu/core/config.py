@@ -132,6 +132,15 @@ class TrainConfig:
     learning_rate: float = 1e-4
     beta1: float = 0.9
     beta2: float = 0.999
+    # optimizer family beyond the reference's plain Adam (default = exact
+    # reference recipe): 'adam' | 'adamw'; schedule 'constant' |
+    # 'warmup_cosine' (needs total_steps)
+    optimizer: str = "adam"
+    weight_decay: float = 0.0
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: Optional[int] = None
+    grad_clip_norm: Optional[float] = None
     batch_size: int = 8          # global batch
     epochs: int = 15             # VIGOR 15, KITTI 6, Oxford 50
     weight_infonce: float = 1e4

@@ -46,6 +46,26 @@ def create_model(model_cfg: ModelConfig) -> CVM:
     return CVM(model_cfg)
 
 
+def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
+    """Reference default: plain Adam(1e-4, 0.9, 0.999) (train_VIGOR.py:104);
+    optional warmup-cosine schedule, AdamW decay, gradient clipping."""
+    if train_cfg.schedule == "warmup_cosine":
+        assert train_cfg.total_steps, "warmup_cosine needs total_steps"
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, train_cfg.learning_rate, train_cfg.warmup_steps,
+            train_cfg.total_steps)
+    else:
+        lr = train_cfg.learning_rate
+    if train_cfg.optimizer == "adamw":
+        tx = optax.adamw(lr, b1=train_cfg.beta1, b2=train_cfg.beta2,
+                         weight_decay=train_cfg.weight_decay)
+    else:
+        tx = optax.adam(lr, b1=train_cfg.beta1, b2=train_cfg.beta2)
+    if train_cfg.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
+    return tx
+
+
 def create_train_state(model_cfg: ModelConfig, train_cfg: TrainConfig,
                        rng: jax.Array) -> Tuple[CVM, TrainState, optax.GradientTransformation]:
     model = CVM(model_cfg)
@@ -55,8 +75,7 @@ def create_train_state(model_cfg: ModelConfig, train_cfg: TrainConfig,
         rng, jnp.zeros((1, hg, wg, 3)), jnp.zeros((1, hs, ws, 3)), False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = optax.adam(train_cfg.learning_rate, b1=train_cfg.beta1,
-                    b2=train_cfg.beta2)
+    tx = make_optimizer(train_cfg)
     opt_state = tx.init(params)
     return model, TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
                              opt_state), tx
