@@ -57,9 +57,10 @@ def main():
         dataset = VIGORDataset(args.root, split=args.area, train=True,
                                pos_only=args.pos_only == "True",
                                ori_noise=ori_noise)
-        # 80/20 split (train_VIGOR.py:83-91)
-        rng = np.random.default_rng(0)
-        idx = rng.permutation(len(dataset))
+        # 80/20 split with the reference's exact RNG stream
+        # (train_VIGOR.py:21 np.random.seed(0); :83-91 shuffle)
+        idx = np.arange(len(dataset))
+        np.random.RandomState(0).shuffle(idx)
         split = int(len(idx) * 0.8)
         train_idx, val_idx = idx[:split].tolist(), idx[split:].tolist()
 
