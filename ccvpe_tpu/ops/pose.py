@@ -64,9 +64,11 @@ def longitudinal_lateral(
     gt_rows: np.ndarray, gt_cols: np.ndarray,
     heading_deg: np.ndarray, meters_per_pixel: float,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Project the error vector onto the heading (train_KITTI.py:320-327):
-    angle_diff = |heading - atan2(|dcol|, |drow|)|; long = |cos|*d,
-    lat = |sin|*d."""
+    """Project the error vector onto the vehicle direction
+    (train_KITTI.py:320-327): angle_diff = |angle - atan2(|dcol|, |drow|)|;
+    long = |cos|*d, lat = |sin|*d. `heading_deg` is the GT ORIENTATION angle
+    in degrees from North (the reference's orientation_from_north,
+    train_KITTI.py:310), not the raw oxts heading."""
     drow = np.abs(gt_rows - pixel_rows)
     dcol = np.abs(gt_cols - pixel_cols)
     dist = np.sqrt(drow ** 2 + dcol ** 2) * meters_per_pixel

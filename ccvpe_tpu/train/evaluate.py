@@ -127,8 +127,10 @@ def evaluate_kitti(args) -> Dict[str, Dict[str, float]]:
                                                 raw["col_offset"])
             px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
             dist.extend((px * mpp).tolist())
+            # decomposition is against the GT orientation angle (degrees from
+            # North), not the raw oxts heading (train_KITTI.py:320-327)
             lo, la = pose.longitudinal_lateral(
-                rows, cols, gt_rows, gt_cols, raw["heading_deg"], mpp)
+                rows, cols, gt_rows, gt_cols, raw["angle_deg"], mpp)
             longi.extend(lo.tolist())
             lat.extend(la.tolist())
             ori_err.extend(pose.angle_error(angle_pred, raw["angle_deg"]).tolist())

@@ -70,7 +70,7 @@ def main():
             loader = ThreadedLoader(dataset, args.batch_size, shuffle=False,
                                     num_workers=args.num_workers,
                                     indices=idx, drop_last=False)
-            dist, ori_err = [], []
+            dist, ori_err, longi, lat = [], [], [], []
             import time
             t0 = time.time()
             n = 0
@@ -82,13 +82,24 @@ def main():
                     hs, ws, raw["row_offset"], raw["col_offset"])
                 px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
                 dist.extend((px * mpp).tolist())
+                # long/lat decomposition vs. the GT orientation angle
+                # (train_OxfordRobotCar.py:248-266)
+                lo, la = pose.longitudinal_lateral(
+                    rows, cols, gt_rows, gt_cols, raw["angle_deg"], mpp)
+                longi.extend(lo.tolist())
+                lat.extend(la.tolist())
                 ori_err.extend(
                     pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
                 n += len(rows)
             fps = n / (time.time() - t0)
-            print(f"traversal {t + 1}: "
-                  f"{pose.summarize(np.array(dist), np.array(ori_err))} "
-                  f"stream rate {fps:.1f} FPS")
+            summary = pose.summarize(np.array(dist), np.array(ori_err))
+            summary.update({f"long_{k}": v for k, v in
+                            pose.recalls(np.array(longi)).items()})
+            summary.update({f"lat_{k}": v for k, v in
+                            pose.recalls(np.array(lat)).items()})
+            summary.update({k.replace("recall@", "ori_recall@") + "deg": v
+                            for k, v in pose.recalls(np.array(ori_err)).items()})
+            print(f"traversal {t + 1}: {summary} stream rate {fps:.1f} FPS")
 
 
 if __name__ == "__main__":

@@ -63,6 +63,21 @@ def test_vigor_dataset(vigor_root):
     assert abs(s2.angle_deg - 90.0) < 1e-5
 
 
+def test_vigor_semipositives(vigor_root):
+    """pos_only=False samples among positive + semi-positive aerial refs,
+    rejecting ones whose GT falls outside the patch (datasets.py:127-133)."""
+    import random
+    from ccvpe_tpu.data.vigor import VIGORDataset
+    ds = VIGORDataset(vigor_root, split="samearea", train=True, pos_only=False)
+    seen_offsets = set()
+    for trial in range(8):
+        s = ds.__getitem__(1, rng=random.Random(trial))
+        assert abs(s.row_offset) < 320 and abs(s.col_offset) < 320
+        seen_offsets.add((float(s.row_offset), float(s.col_offset)))
+    # different semi-positive picks yield different offsets
+    assert len(seen_offsets) >= 2
+
+
 def test_vigor_crossarea_split(vigor_root):
     from ccvpe_tpu.data.vigor import VIGORDataset
     tr = VIGORDataset(vigor_root, split="crossarea", train=True)
