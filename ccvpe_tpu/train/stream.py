@@ -1,0 +1,81 @@
+"""Sequential streaming evaluation (the Oxford RobotCar >=14 FPS workload,
+reference train_OxfordRobotCar.py:195-397).
+
+Frames are independent given the deterministic tile rule
+(reference datasets.py:306-321), so the stream shards trivially across hosts
+(docs/SCALING.md). This module is the driver-independent core: it runs the
+per-frame eval over one traversal's index list and returns the summary
+(mean/median meters + degrees, long/lat decomposition recalls, stream FPS).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ccvpe_tpu.ops import pose
+
+
+def stream_eval(
+    model,
+    model_cfg,
+    params,
+    batch_stats,
+    dataset,
+    indices: Sequence[int],
+    batch_size: int = 8,
+    meters_per_pixel: float = 1.0,
+    num_workers: int = 8,
+    shard_id: int = 0,
+    num_shards: int = 1,
+    eval_step=None,
+) -> Dict[str, float]:
+    """Evaluate one traversal's frames sequentially; returns summary + FPS.
+
+    Per-host sharding: pass (shard_id, num_shards) and each host streams a
+    disjoint stride of the frame list; aggregate summaries host-side with
+    `core.mesh.all_hosts_gather` if needed.
+    """
+    from ccvpe_tpu.data.loader import ThreadedLoader
+    from ccvpe_tpu.train.step import make_eval_step
+
+    if eval_step is None:
+        eval_step = make_eval_step(model, model_cfg)
+    hs, ws = model_cfg.sat_size
+
+    loader = ThreadedLoader(dataset, batch_size, shuffle=False,
+                            num_workers=num_workers, indices=list(indices),
+                            drop_last=False, shard_id=shard_id,
+                            num_shards=num_shards)
+    dist, ori_err, longi, lat = [], [], [], []
+    t0 = time.perf_counter()
+    n = 0
+    for raw in loader:
+        heatmap, ori = eval_step(params, batch_stats, raw["grd"], raw["sat"])
+        rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
+        gt_rows, gt_cols = pose.gt_location(
+            hs, ws, raw["row_offset"], raw["col_offset"])
+        px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
+        dist.extend((px * meters_per_pixel).tolist())
+        # long/lat decomposition vs. the GT orientation angle
+        # (train_OxfordRobotCar.py:248-266)
+        lo, la = pose.longitudinal_lateral(
+            rows, cols, gt_rows, gt_cols, raw["angle_deg"], meters_per_pixel)
+        longi.extend(lo.tolist())
+        lat.extend(la.tolist())
+        ori_err.extend(pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
+        n += len(rows)
+    elapsed = time.perf_counter() - t0
+
+    summary = pose.summarize(np.array(dist), np.array(ori_err))
+    summary.update({f"long_{k}": v for k, v in
+                    pose.recalls(np.array(longi)).items()})
+    summary.update({f"lat_{k}": v for k, v in
+                    pose.recalls(np.array(lat)).items()})
+    summary.update({k.replace("recall@", "ori_recall@") + "deg": v
+                    for k, v in pose.recalls(np.array(ori_err)).items()})
+    summary["fps"] = n / elapsed if elapsed > 0 else 0.0
+    summary["frames"] = float(n)
+    return summary

@@ -53,52 +53,21 @@ def main():
     else:
         # sequential per-frame streaming eval over the 3 test traversals
         # (train_OxfordRobotCar.py:195-397), long/lat decomposition included
-        import jax
-        from ccvpe_tpu.ops import pose
         from ccvpe_tpu.train.evaluate import _load_params
-        from ccvpe_tpu.train.step import make_eval_step
+        from ccvpe_tpu.train.stream import stream_eval
 
         dataset = OxfordDataset(args.grd_root, args.sat_path, split="test")
         model, params, batch_stats = _load_params(model_cfg, args.checkpoint)
-        eval_step = make_eval_step(model, model_cfg)
-        hs, ws = model_cfg.sat_size
         mpp = dataset.meters_per_pixel()
 
         bounds = np.cumsum((0,) + dataset.traversal_lens)
         for t in range(3):
-            idx = list(range(bounds[t], bounds[t + 1]))
-            loader = ThreadedLoader(dataset, args.batch_size, shuffle=False,
-                                    num_workers=args.num_workers,
-                                    indices=idx, drop_last=False)
-            dist, ori_err, longi, lat = [], [], [], []
-            import time
-            t0 = time.time()
-            n = 0
-            for raw in loader:
-                heatmap, ori = eval_step(params, batch_stats, raw["grd"], raw["sat"])
-                rows, cols, angle_pred = map(np.asarray,
-                                             pose.decode_pose(heatmap, ori))
-                gt_rows, gt_cols = pose.gt_location(
-                    hs, ws, raw["row_offset"], raw["col_offset"])
-                px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
-                dist.extend((px * mpp).tolist())
-                # long/lat decomposition vs. the GT orientation angle
-                # (train_OxfordRobotCar.py:248-266)
-                lo, la = pose.longitudinal_lateral(
-                    rows, cols, gt_rows, gt_cols, raw["angle_deg"], mpp)
-                longi.extend(lo.tolist())
-                lat.extend(la.tolist())
-                ori_err.extend(
-                    pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
-                n += len(rows)
-            fps = n / (time.time() - t0)
-            summary = pose.summarize(np.array(dist), np.array(ori_err))
-            summary.update({f"long_{k}": v for k, v in
-                            pose.recalls(np.array(longi)).items()})
-            summary.update({f"lat_{k}": v for k, v in
-                            pose.recalls(np.array(lat)).items()})
-            summary.update({k.replace("recall@", "ori_recall@") + "deg": v
-                            for k, v in pose.recalls(np.array(ori_err)).items()})
+            summary = stream_eval(
+                model, model_cfg, params, batch_stats, dataset,
+                indices=range(bounds[t], bounds[t + 1]),
+                batch_size=args.batch_size, meters_per_pixel=mpp,
+                num_workers=args.num_workers)
+            fps = summary.pop("fps")
             print(f"traversal {t + 1}: {summary} stream rate {fps:.1f} FPS")
 
 

@@ -29,17 +29,13 @@ def main():
     p.add_argument("--out", default="qualitative.png")
     args = p.parse_args()
 
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    from matplotlib.colors import LogNorm
-
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
     from ccvpe_tpu.data.vigor import VIGORDataset
     from ccvpe_tpu.ops import pose
     from ccvpe_tpu.train.evaluate import _load_params
     from ccvpe_tpu.train.step import make_eval_step
+    from ccvpe_tpu.utils.viz import render_qualitative
 
     ori_noise = 18.0 * (args.ori_noise // 18.0)
     dataset = VIGORDataset(args.root, split=args.area, train=False,
@@ -64,32 +60,9 @@ def main():
     sat_img = np.clip(sat_img, 0, 1)
     grd_img = np.clip(sample.grd * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
 
-    fig, axes = plt.subplots(1, 2, figsize=(14, 6))
-    axes[0].imshow(grd_img)
-    axes[0].set_title(f"ground (angle {sample.angle_deg:.1f} deg)")
-    axes[0].axis("off")
-
-    axes[1].imshow(sat_img)
-    axes[1].imshow(heatmap, norm=LogNorm(vmin=max(heatmap.min(), 1e-10),
-                                         vmax=heatmap.max()),
-                   alpha=0.6, cmap="Reds")
-    # quiver of the predicted orientation field every 40 px
-    # (visualize_qualitative_results_VIGOR.py:140-147)
-    step = 40
-    ys, xs = np.mgrid[step // 2:hs:step, step // 2:ws:step]
-    cos_v = ori[ys, xs, 0]
-    sin_v = ori[ys, xs, 1]
-    # angle 0 = North (up), counter-clockwise positive
-    axes[1].quiver(xs, ys, -sin_v, cos_v, color="gold", width=0.003)
-    axes[1].scatter([gt_c[0]], [gt_r[0]], marker="*", s=200, c="lime",
-                    label="GT")
-    axes[1].scatter([pc], [pr], marker="x", s=150, c="cyan", label="pred")
-    axes[1].legend()
-    axes[1].set_title("heatmap + orientation field")
-    axes[1].axis("off")
-
-    fig.tight_layout()
-    fig.savefig(args.out, dpi=120)
+    render_qualitative(grd_img, sat_img, heatmap, ori,
+                       gt_rc=(gt_r[0], gt_c[0]), pred_rc=(pr, pc),
+                       out_path=args.out, angle_deg=sample.angle_deg)
     print(f"wrote {args.out}")
 
 
