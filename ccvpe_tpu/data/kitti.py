@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ccvpe_tpu.data.transforms import normalize, resize_pil
+from ccvpe_tpu.data.transforms import finalize, resize_pil
 
 DEFAULT_LAT = 49.015           # datasets.py:358
 SATMAP_ZOOM = 18               # datasets.py:359
@@ -63,7 +63,10 @@ class KittiDataset:
     def __init__(self, root: str, file: str, train: bool = True,
                  shift_range_lat: float = 20.0, shift_range_lon: float = 20.0,
                  rotation_range: float = 10.0,
-                 grd_size: Tuple[int, int] = (256, 1024)):
+                 grd_size: Tuple[int, int] = (256, 1024),
+                 image_dtype: str = "float32"):
+        # "uint8": raw resized pixels, normalized on device (train/step.py)
+        self.image_dtype = image_dtype
         self.root = root
         self.train = train
         self.mpp = meter_per_pixel()
@@ -102,7 +105,7 @@ class KittiDataset:
         grd_img = PIL.Image.open(
             os.path.join(self.root, GRD_DIR, drive_dir, LEFT_CAM_DIR,
                          image_no.lower())).convert("RGB")
-        grd = normalize(resize_pil(grd_img, self.grd_size))
+        grd = finalize(resize_pil(grd_img, self.grd_size), self.image_dtype)
 
         sat_map = PIL.Image.open(
             os.path.join(self.root, SATMAP_DIR, file_name)).convert("RGB")
@@ -127,7 +130,7 @@ class KittiDataset:
         w, h = sat_final.size
         left, top = (w - SAT_SIZE) // 2, (h - SAT_SIZE) // 2
         sat_crop = sat_final.crop((left, top, left + SAT_SIZE, top + SAT_SIZE))
-        sat = normalize(resize_pil(sat_crop, (SAT_SIZE, SAT_SIZE)))
+        sat = finalize(resize_pil(sat_crop, (SAT_SIZE, SAT_SIZE)), self.image_dtype)
 
         # GT offsets (datasets.py:472-473)
         cos_o, sin_o = np.cos(random_ori / 180 * np.pi), np.sin(random_ori / 180 * np.pi)

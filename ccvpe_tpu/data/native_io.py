@@ -46,6 +46,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float)]
+    try:  # v2 symbol: uint8 ingest (rebuild the .so if missing)
+        lib.ccvpe_decode_resize_u8.restype = ctypes.c_int
+        lib.ccvpe_decode_resize_u8.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int]
+    except AttributeError:
+        pass
     lib.ccvpe_load_batch.restype = ctypes.c_int
     lib.ccvpe_load_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -76,6 +83,20 @@ def load_image_native(path: str, size_hw) -> Optional[np.ndarray]:
         path.encode(), _fptr(out), h, w,
         _fptr(np.ascontiguousarray(IMAGENET_MEAN)),
         _fptr(np.ascontiguousarray(IMAGENET_STD)))
+    return out if rc == 0 else None
+
+
+def load_image_raw_native(path: str, size_hw) -> Optional[np.ndarray]:
+    """Decode+resize one image to uint8 [H, W, 3] (no normalization), or
+    None on failure / v1 library without the symbol."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ccvpe_decode_resize_u8"):
+        return None
+    h, w = size_hw
+    out = np.empty((h, w, 3), np.uint8)
+    rc = lib.ccvpe_decode_resize_u8(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w)
     return out if rc == 0 else None
 
 

@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ccvpe_tpu.data.transforms import normalize, resize_pil
+from ccvpe_tpu.data.transforms import finalize, resize_pil
 
 METERS_PER_PIXEL = 0.09240351462361521   # datasets.py:193
 CROP = 800
@@ -62,9 +62,12 @@ class OxfordSample:
 
 class OxfordDataset:
     def __init__(self, grd_image_root: str, sat_path: str, split: str = "train",
-                 grd_size: Tuple[int, int] = (154, 231)):
+                 grd_size: Tuple[int, int] = (154, 231),
+                 image_dtype: str = "float32"):
         import PIL.Image
         PIL.Image.MAX_IMAGE_PIXELS = None
+        # "uint8": raw resized pixels, normalized on device (train/step.py)
+        self.image_dtype = image_dtype
         self.grd_image_root = grd_image_root
         self.split = split
         self.grd_size = grd_size
@@ -104,7 +107,7 @@ class OxfordDataset:
 
         grd_img = PIL.Image.open(
             os.path.join(self.grd_image_root, self.grd_list[idx][0])).convert("RGB")
-        grd = normalize(resize_pil(grd_img, self.grd_size))
+        grd = finalize(resize_pil(grd_img, self.grd_size), self.image_dtype)
 
         coord = self.transform(
             np.array([[self.utm[0, idx], self.utm[1, idx]]]))[0]  # (col, row)
@@ -137,7 +140,8 @@ class OxfordDataset:
             row_resized = int(-(row_pixel / CROP * OUT - OUT // 2))
             col_resized = int(-(col_pixel / CROP * OUT - OUT // 2))
 
-        sat = normalize(resize_pil(sat_img.convert("RGB"), (OUT, OUT)))
+        sat = finalize(resize_pil(sat_img.convert("RGB"), (OUT, OUT)),
+                       self.image_dtype)
 
         # yaw: west-0 CW radians -> north-0 CW degrees (datasets.py:334-337)
         angle = (self.yaw[idx] / np.pi * 180.0) - 90.0

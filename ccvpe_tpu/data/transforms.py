@@ -31,9 +31,24 @@ def normalize(img) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def load_image(path: str, size_hw: Tuple[int, int], fallback_hw=None) -> np.ndarray:
+def finalize(img, dtype: str = "float32") -> np.ndarray:
+    """Resized PIL image -> uint8 raw pixels (for on-device normalization,
+    train/step.py::device_normalize) or host-normalized float32."""
+    if dtype == "uint8":
+        return np.asarray(img, np.uint8)
+    return normalize(img)
+
+
+def load_image(path: str, size_hw: Tuple[int, int], fallback_hw=None,
+               dtype: str = "float32") -> np.ndarray:
     """Open -> RGB -> resize -> normalize. Unreadable files yield a blank
     image (reference datasets.py:100-105).
+
+    dtype="uint8" skips normalization and returns resized uint8 pixels (the
+    "ship uint8, normalize on device" ingest path: 4x less host->device
+    traffic; normalization happens inside the jitted step, train/step.py).
+    This also matches the reference preprocessing order exactly - PIL
+    resizes in uint8 BEFORE ToTensor/Normalize (train_VIGOR.py:57-70).
 
     Uses the native C++ decode/resize library (native/io.cc, ~2.5x faster
     than PIL per image on this host) when built; PIL otherwise. Disable with
@@ -42,7 +57,9 @@ def load_image(path: str, size_hw: Tuple[int, int], fallback_hw=None) -> np.ndar
     import os
     if os.environ.get("CCVPE_NATIVE_IO", "1") != "0":
         from ccvpe_tpu.data import native_io
-        out = native_io.load_image_native(path, size_hw)
+        out = (native_io.load_image_raw_native(path, size_hw)
+               if dtype == "uint8"
+               else native_io.load_image_native(path, size_hw))
         if out is not None:
             return out
     import PIL.Image
@@ -51,4 +68,7 @@ def load_image(path: str, size_hw: Tuple[int, int], fallback_hw=None) -> np.ndar
     except Exception:
         h, w = fallback_hw or size_hw
         img = PIL.Image.new("RGB", (w, h))
-    return normalize(resize_pil(img, size_hw))
+    img = resize_pil(img, size_hw)
+    if dtype == "uint8":
+        return np.asarray(img, np.uint8)
+    return normalize(img)

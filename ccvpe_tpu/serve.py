@@ -45,8 +45,10 @@ class InferenceEngine:
         self._batch_stats = batch_stats
 
         def fn(params, batch_stats, grd, sat):
+            from ccvpe_tpu.train.step import device_normalize
             out = self.model.apply(
-                {"params": params, "batch_stats": batch_stats}, grd, sat, False)
+                {"params": params, "batch_stats": batch_stats},
+                device_normalize(grd), device_normalize(sat), False)
             rows, cols, angle = pose.decode_pose(out.heatmap, out.ori)
             b = out.heatmap.shape[0]
             peak = out.heatmap.reshape(b, -1).max(axis=-1)

@@ -26,13 +26,30 @@ from ccvpe_tpu.train.losses import cross_entropy_loss, infonce_loss, orientation
 
 
 class Batch(NamedTuple):
-    """One training batch. Images NHWC float32 (ImageNet-normalized);
+    """One training batch. Images NHWC: float32 (ImageNet-normalized on the
+    host) or uint8 (raw pixels, normalized on device - 4x less H2D traffic);
     offsets/angles are per-sample scalars used for on-device GT rendering."""
     grd: jnp.ndarray          # [B, Hg, Wg, 3]
     sat: jnp.ndarray          # [B, Hs, Ws, 3]
     row_offset: jnp.ndarray   # [B]
     col_offset: jnp.ndarray   # [B]
     angle_deg: jnp.ndarray    # [B] in [0, 360)
+
+
+# ImageNet normalization constants (data/transforms.py); the on-device
+# normalize keeps uint8 ingest numerically identical to the host float path.
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def device_normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC -> ImageNet-normalized float32; float32 passes through
+    (already normalized host-side)."""
+    if img.dtype != jnp.uint8:
+        return img
+    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+    return (img.astype(jnp.float32) / 255.0 - mean) / std
 
 
 class TrainState(NamedTuple):
@@ -132,7 +149,7 @@ def make_loss_fn(model: CVM, model_cfg: ModelConfig, train_cfg: TrainConfig):
     def loss_fn(params, batch_stats, batch, rng):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch.grd, batch.sat, True,
+            device_normalize(batch.grd), device_normalize(batch.sat), True,
             mutable=["batch_stats"], rngs={"dropout": rng},
         )
         total, metrics = compute_losses(model_cfg, train_cfg, out, batch)
@@ -163,7 +180,7 @@ def make_eval_step(model: CVM, model_cfg: ModelConfig):
 
     def step(params, batch_stats, grd, sat):
         out = model.apply({"params": params, "batch_stats": batch_stats},
-                          grd, sat, False)
+                          device_normalize(grd), device_normalize(sat), False)
         return out.heatmap, out.ori
 
     return jax.jit(step)

@@ -224,11 +224,60 @@ void resize_normalize(const Image& img, float* out, int out_h, int out_w,
   }
 }
 
+// resize RGB8 -> uint8 HWC (no normalization): same two-pass triangle
+// filter, rounded to nearest like Pillow's fixed-point resample. This is the
+// "ship uint8, normalize on device" ingest path - 4x less host->device
+// traffic than the float32 variant.
+void resize_u8(const Image& img, uint8_t* out, int out_h, int out_w) {
+  std::vector<Contrib> cx, cy;
+  build_contribs(img.w, out_w, &cx);
+  build_contribs(img.h, out_h, &cy);
+
+  const int in_row = img.w * 3;
+  std::vector<float> tmp(size_t(out_h) * in_row);
+  for (int y = 0; y < out_h; ++y) {
+    const Contrib& c = cy[y];
+    float* trow = tmp.data() + size_t(y) * in_row;
+    {
+      const uint8_t* src = img.rgb.data() + size_t(c.xmin) * in_row;
+      const float w = float(c.weights[0]);
+      for (int i = 0; i < in_row; ++i) trow[i] = w * src[i];
+    }
+    for (int k = 1; k < c.n; ++k) {
+      const uint8_t* src = img.rgb.data() + size_t(c.xmin + k) * in_row;
+      const float w = float(c.weights[k]);
+      for (int i = 0; i < in_row; ++i) trow[i] += w * src[i];
+    }
+  }
+  for (int y = 0; y < out_h; ++y) {
+    const float* trow = tmp.data() + size_t(y) * in_row;
+    uint8_t* orow = out + size_t(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const Contrib& c = cx[x];
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      const float* p = trow + size_t(c.xmin) * 3;
+      for (int k = 0; k < c.n; ++k, p += 3) {
+        const float w = float(c.weights[k]);
+        acc0 += w * p[0];
+        acc1 += w * p[1];
+        acc2 += w * p[2];
+      }
+      auto clip8 = [](float v) -> uint8_t {
+        int i = int(v + 0.5f);
+        return uint8_t(i < 0 ? 0 : (i > 255 ? 255 : i));
+      };
+      orow[x * 3 + 0] = clip8(acc0);
+      orow[x * 3 + 1] = clip8(acc1);
+      orow[x * 3 + 2] = clip8(acc2);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
-int ccvpe_version() { return 1; }
+int ccvpe_version() { return 2; }
 
 int ccvpe_decode_resize(const char* path, float* out, int out_h, int out_w,
                         const float* mean, const float* stdv) {
@@ -247,6 +296,15 @@ int ccvpe_decode_raw(const char* path, uint8_t* out, int capacity, int* w,
   memcpy(out, img.rgb.data(), img.rgb.size());
   *w = img.w;
   *h = img.h;
+  return 0;
+}
+
+// decode + resize to uint8 HWC (for the on-device-normalization ingest path)
+int ccvpe_decode_resize_u8(const char* path, uint8_t* out, int out_h,
+                           int out_w) {
+  Image img;
+  if (!decode_file(path, &img)) return 1;
+  resize_u8(img, out, out_h, out_w);
   return 0;
 }
 

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--workdir", default="runs/kitti")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--image_dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="uint8 ships raw pixels and normalizes on device")
     args = p.parse_args()
 
     from ccvpe_tpu.core import config as cfg_lib
@@ -43,7 +46,8 @@ def main():
         train_set = KittiDataset(args.root, args.train_file, train=True,
                                  shift_range_lat=args.shift_range_lat,
                                  shift_range_lon=args.shift_range_lon,
-                                 rotation_range=args.rotation_range)
+                                 rotation_range=args.rotation_range,
+                                 image_dtype=args.image_dtype)
         test1 = KittiDataset(args.root, args.test1_file, train=False,
                              shift_range_lat=args.shift_range_lat,
                              shift_range_lon=args.shift_range_lon,

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--workdir", default="runs/oxford")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--image_dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="uint8 ships raw pixels and normalizes on device")
     args = p.parse_args()
 
     from ccvpe_tpu.core import config as cfg_lib
@@ -38,8 +41,10 @@ def main():
             learning_rate=args.learning_rate, batch_size=args.batch_size,
             epochs=args.epochs, weight_ori=args.weight_ori,
             weight_infonce=args.weight_infoNCE)
-        train_set = OxfordDataset(args.grd_root, args.sat_path, split="train")
-        val_set = OxfordDataset(args.grd_root, args.sat_path, split="val")
+        train_set = OxfordDataset(args.grd_root, args.sat_path, split="train",
+                                  image_dtype=args.image_dtype)
+        val_set = OxfordDataset(args.grd_root, args.sat_path, split="val",
+                                image_dtype=args.image_dtype)
         trainer = Trainer(model_cfg, train_cfg, workdir=args.workdir)
         trainer.fit(
             train_loader_fn=lambda epoch: ThreadedLoader(

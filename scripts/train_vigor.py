@@ -35,6 +35,12 @@ def main():
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir (eval) or resume dir (train)")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--image_dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="uint8 ships raw pixels and normalizes on device "
+                        "(4x less host->device traffic)")
+    p.add_argument("--preset", default="vigor", choices=["vigor", "tiny"],
+                   help="tiny = miniature geometry smoke mode (CPU-friendly)")
     args = p.parse_args()
 
     from ccvpe_tpu.core import config as cfg_lib
@@ -53,10 +59,14 @@ def main():
 
     if training:
         from ccvpe_tpu.train.trainer import Trainer
-        model_cfg = cfg_lib.vigor(circular=circular)
+        model_cfg = (cfg_lib.tiny() if args.preset == "tiny"
+                     else cfg_lib.vigor(circular=circular))
         dataset = VIGORDataset(args.root, split=args.area, train=True,
                                pos_only=args.pos_only == "True",
-                               ori_noise=ori_noise)
+                               ori_noise=ori_noise,
+                               image_dtype=args.image_dtype,
+                               grd_size=model_cfg.grd_size,
+                               sat_size=model_cfg.sat_size)
         # 80/20 split with the reference's exact RNG stream
         # (train_VIGOR.py:21 np.random.seed(0); :83-91 shuffle)
         idx = np.arange(len(dataset))
