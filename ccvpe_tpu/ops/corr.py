@@ -128,6 +128,55 @@ def rolled_corr_dispatch(
     return rolled_corr(sat, grd, shift, num_bins, center, bins)
 
 
+def rolled_corr_bin_sharded(
+    sat: jnp.ndarray,
+    grd: jnp.ndarray,
+    shift: int,
+    num_bins: int,
+    mesh,
+    axis: str = "model",
+    center: bool = False,
+) -> jnp.ndarray:
+    """Orientation-axis sharded correlation (the context-parallel analog,
+    SURVEY.md 2.4): each device along `axis` owns a contiguous block of
+    orientation bins, i.e. a row-block of the [K, D] roll matrices. The sat
+    map and ground descriptor stay replicated along `axis`; bins are
+    independent, so no collective is needed inside — the output [B, h, w, K]
+    simply comes back sharded on K along `axis`.
+
+    This matters when K*h*w score volumes dominate memory (many bins / fine
+    orientation resolution): each device materializes only K/axis_size bins.
+    For the reference's K<=20 the folded [K, D] matmul (rolled_corr) is
+    already optimal on one chip; this is the scale-out path.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis_size = mesh.shape[axis]
+    if num_bins % axis_size:
+        raise ValueError(f"num_bins={num_bins} not divisible by "
+                         f"mesh axis '{axis}' of size {axis_size}")
+    sat = sat.astype(jnp.float32)
+    grd = grd.astype(jnp.float32)
+    g_mat, m_mat = build_roll_matrices(
+        grd, sat.shape[-1], shift, tuple(range(num_bins)), center)
+    g_norm = jnp.linalg.norm(grd, axis=-1)
+
+    def local(sat_l, g_l, m_l, gn_l):
+        num = jnp.einsum("bhwd,bkd->bhwk", sat_l, g_l,
+                         preferred_element_type=jnp.float32)
+        den_sq = jnp.einsum("bhwd,kd->bhwk", jnp.square(sat_l), m_l,
+                            preferred_element_type=jnp.float32)
+        return num / (jnp.sqrt(den_sq) * gn_l[:, None, None, None])
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data", axis, None), P(axis, None), P("data")),
+        out_specs=P("data", None, None, axis),
+    )
+    return fn(sat, g_mat, m_mat, g_norm)
+
+
 def rolled_corr_reference(
     sat: jnp.ndarray,
     grd: jnp.ndarray,

@@ -55,6 +55,27 @@ def test_roll_equals_rotation(rng):
     )
 
 
+def test_bin_sharded_matches_unsharded(rng):
+    """Orientation-axis (CP-analog) sharding: bins split over the 'model'
+    mesh axis must give the same scores as the folded single-device matmul
+    (SURVEY.md 2.4 orientation-axis parallelism)."""
+    from ccvpe_tpu.core.mesh import make_mesh
+    from ccvpe_tpu.ops.corr import rolled_corr_bin_sharded
+
+    b, h, w, d, shift, k = 2, 8, 8, 1280, 64, 20
+    sat = jnp.asarray(rng.normal(size=(b, h, w, d)).astype(np.float32))
+    grd = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    ref = rolled_corr(sat, grd, shift, k)
+
+    mesh = make_mesh(data=2, model=4)  # 20 bins -> 5 per device
+    sharded = rolled_corr_bin_sharded(sat, grd, shift, k, mesh)
+    assert sharded.shape == (b, h, w, k)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref), atol=2e-5)
+
+    with pytest.raises(ValueError):
+        rolled_corr_bin_sharded(sat, grd, shift, 18, mesh)
+
+
 def test_scores_are_cosines(rng):
     sat = jnp.asarray(rng.normal(size=(1, 4, 4, 256)).astype(np.float32))
     grd = jnp.asarray(rng.normal(size=(1, 256)).astype(np.float32))
