@@ -61,14 +61,20 @@ def main():
     )
     key = jax.random.PRNGKey(0)
 
+    # Timing is synchronized by VALUE (jax.device_get), never
+    # block_until_ready: on the axon remote platform block_until_ready
+    # returns before device completion for large executables (verified
+    # against the device trace; tools/microbench_tpu.py). The final fetch
+    # data-depends on all queued steps, so the measurement covers the full
+    # device execution while still allowing dispatch pipelining.
     for _ in range(WARMUP):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / ITERS
 
     pairs_per_s = BATCH / dt

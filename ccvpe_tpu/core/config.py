@@ -66,6 +66,11 @@ class ModelConfig:
     # 'xla', or 'pallas'
     corr_impl: str = "auto"
 
+    # deconv implementation: 'einsum' (matmul + block reshape) or 'conv'
+    # (native lax.conv_transpose) - numerically identical, same param layout;
+    # see nn/decoder.py::Deconv2x2
+    deconv_impl: str = "einsum"
+
     # computation dtype for the conv-heavy paths (encoders, decoders);
     # params, BN, correlation, losses stay float32. 'bfloat16' targets the
     # v5e MXU peak; 'float32' for strict parity testing.
@@ -141,6 +146,10 @@ class TrainConfig:
     warmup_steps: int = 0
     total_steps: Optional[int] = None
     grad_clip_norm: Optional[float] = None
+    # optax.flatten around the optimizer: numerically identical elementwise
+    # updates on one raveled vector instead of ~600 per-tensor chains; a large
+    # op-count cut on per-op-overhead-bound TPU platforms (docs/PERFORMANCE.md)
+    flatten_optimizer: bool = True
     batch_size: int = 8          # global batch
     epochs: int = 15             # VIGOR 15, KITTI 6, Oxford 50
     weight_infonce: float = 1e4

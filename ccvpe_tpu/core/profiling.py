@@ -15,6 +15,20 @@ from typing import Any, Callable, Dict, Optional
 import jax
 
 
+def sync(tree) -> Any:
+    """Synchronize by VALUE: device_get every leaf and return the host pytree.
+
+    jax.block_until_ready is NOT trustworthy on every platform: on the axon
+    remote TPU platform it returns before device completion for large
+    multi-output executables (measured: a train step reported 8.5 ms/step by
+    block_until_ready while the device trace showed 551 ms/step of real
+    execution; see tools/microbench_tpu.py). Fetching values cannot lie -
+    the bytes only exist once the program ran. All timing in this repo must
+    synchronize through this function, never through block_until_ready.
+    """
+    return jax.device_get(tree)
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Capture a device trace viewable in XProf/TensorBoard."""
@@ -40,7 +54,7 @@ class StepTimer:
 
     def tick(self, items: int, block_on: Optional[Any] = None) -> None:
         if block_on is not None:
-            jax.block_until_ready(block_on)
+            sync(block_on)   # value fetch; block_until_ready lies (see sync)
         self._times.append(time.perf_counter())
         self._items.append(items)
         if len(self._times) > self.window + 1:

@@ -113,7 +113,8 @@ class CVM(nn.Module):
             x = stage_cls(
                 deconv_out=cfg.loc_deconv_out[s],
                 conv_out=cfg.loc_conv_out[s] if s < n - 1 else None,
-                dtype=dtype, name=f"loc_stage{s + 1}",
+                dtype=dtype, deconv_impl=cfg.deconv_impl,
+                name=f"loc_stage{s + 1}",
             )(x, skip)
             x = spatial_constraint(x)
         logits_map = HeadConv(cfg.head_hidden, 1, dtype=dtype,
@@ -130,7 +131,8 @@ class CVM(nn.Module):
             y = stage_cls(
                 deconv_out=cfg.ori_deconv_out[s],
                 conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,
-                dtype=dtype, name=f"ori_stage{s + 1}",
+                dtype=dtype, deconv_impl=cfg.deconv_impl,
+                name=f"ori_stage{s + 1}",
             )(y, skip)
             y = spatial_constraint(y)
         ori = HeadConv(cfg.head_hidden, 2, dtype=dtype, name="ori_head")(y)

@@ -20,18 +20,28 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 class Deconv2x2(nn.Module):
-    """ConvTranspose2d(in, out, kernel=2, stride=2) as einsum + reshape.
+    """ConvTranspose2d(in, out, kernel=2, stride=2):
 
     out[b, 2i+di, 2j+dj, o] = sum_c x[b,i,j,c] * w[di,dj,c,o] + bias[o]
+
+    Two numerically identical implementations (tests/test_decoder_impl.py):
+      'einsum': one MXU matmul + pixel->2x2-block reshape. The reshape
+        costs a 6-D layout copy on TPU (visible in device traces).
+      'conv': native transposed conv via lax.conv_transpose with the kernel
+        spatially flipped (conv_transpose cross-correlates against the
+        flipped window; flipping restores the direct-index semantics above).
+    Parameter layout is identical for both, so checkpoints interchange.
     """
 
     features: int
     dtype: Any = jnp.float32
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -39,10 +49,17 @@ class Deconv2x2(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (2, 2, c, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jnp.einsum("bhwc,ijco->bhiwjo", x.astype(self.dtype),
-                       kernel.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
-        y = y.reshape(b, 2 * h, 2 * w, self.features)
+        if self.impl == "conv":
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype), kernel[::-1, ::-1].astype(self.dtype),
+                (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=False)
+        else:
+            y = jnp.einsum("bhwc,ijco->bhiwjo", x.astype(self.dtype),
+                           kernel.astype(self.dtype),
+                           preferred_element_type=jnp.float32)
+            y = y.reshape(b, 2 * h, 2 * w, self.features)
         return y + bias
 
 
@@ -85,10 +102,12 @@ class DecoderStage(nn.Module):
     deconv_out: int
     conv_out: Optional[int]   # None for the final stage (head applied outside)
     dtype: Any = jnp.float32
+    deconv_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray]) -> jnp.ndarray:
-        x = Deconv2x2(self.deconv_out, dtype=self.dtype, name="deconv")(x)
+        x = Deconv2x2(self.deconv_out, dtype=self.dtype,
+                      impl=self.deconv_impl, name="deconv")(x)
         if skip is not None:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         if self.conv_out is not None:

@@ -80,6 +80,14 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
         tx = optax.adam(lr, b1=train_cfg.beta1, b2=train_cfg.beta2)
     if train_cfg.grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
+    if train_cfg.flatten_optimizer:
+        # Adam/AdamW are elementwise, so updating one raveled+concatenated
+        # vector is numerically identical to per-tensor updates - but it
+        # replaces ~600 per-parameter update chains (each a handful of tiny
+        # HLO ops + DMAs) with a few large fused ops. On this TPU platform
+        # per-op overhead dominates the step (device trace: ~43 us/op,
+        # docs/PERFORMANCE.md), so op count is a first-order cost.
+        tx = optax.flatten(tx)
     return tx
 
 

@@ -54,6 +54,57 @@ def test_train_step_runs_and_decreases_loss(tiny_setup):
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+def test_flattened_optimizer_matches_per_tensor(tiny_setup):
+    """optax.flatten (the op-count optimization, default on) must produce
+    numerically equivalent parameter updates to the per-tensor optimizer.
+
+    Both transforms are applied to the SAME gradient pytrees (realistic ones,
+    taken from real train steps) rather than re-running the train step under
+    each optimizer: the two step variants compile to different XLA graphs
+    whose gradients differ at roundoff, and Adam amplifies roundoff-level
+    gradients (e.g. BN biases with ~0 grad) into full lr-sized update
+    differences - that would test graph determinism, not the transform."""
+    import dataclasses
+
+    from ccvpe_tpu.train.step import make_optimizer
+
+    model_cfg, train_cfg, model, state, tx = tiny_setup
+    step = make_train_step(model, tx, model_cfg, train_cfg, donate=False)
+    batch = synthetic_batch(model_cfg, 4)
+    rng = jax.random.PRNGKey(3)
+
+    # harvest realistic gradients: successive param deltas are optimizer
+    # output, but we want raw grads - recompute via jax.grad on the loss
+    # inside the step is heavyweight; instead synthesize grads from param
+    # deltas plus structured noise keyed per leaf.
+    st1, _ = step(state, batch, rng)
+    grads = jax.tree.map(lambda a, b: (a - b) * 1e3 + 1e-6,
+                         state.params, st1.params)
+
+    tx_flat = make_optimizer(dataclasses.replace(train_cfg,
+                                                 flatten_optimizer=True))
+    tx_per = make_optimizer(dataclasses.replace(train_cfg,
+                                                flatten_optimizer=False))
+
+    import optax
+
+    results = {}
+    for name, txx in (("flat", tx_flat), ("per", tx_per)):
+        p = state.params
+        st = txx.init(p)
+        for i in range(3):
+            g = jax.tree.map(lambda x, s=i + 1: x * s, grads)
+            upd, st = txx.update(g, st, p)
+            p = optax.apply_updates(p, upd)
+        results[name] = p
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results["flat"]),
+            jax.tree_util.tree_leaves_with_path(results["per"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9, err_msg=str(path))
+
+
 def test_eval_step_outputs(tiny_setup):
     model_cfg, train_cfg, model, state, tx = tiny_setup
     eval_step = make_eval_step(model, model_cfg)

@@ -33,10 +33,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def parse_config(s):
     out = {"batch": 32, "remat_backbone": 1, "remat_decoder": 0,
-           "dtype": "float32", "preset": "vigor"}
+           "dtype": "float32", "preset": "vigor", "deconv": "einsum",
+           "flatten": 1}
     for kv in s.split(","):
         k, v = kv.split("=")
-        out[k] = v if k in ("dtype", "preset") else int(v)
+        out[k] = v if k in ("dtype", "preset", "deconv") else int(v)
     return out
 
 
@@ -48,8 +49,10 @@ def run_one(cfg, warmup=5, iters=30):
         cfg_lib.get_model_config(cfg["preset"]),
         remat_backbone=bool(cfg["remat_backbone"]),
         remat_decoder=bool(cfg["remat_decoder"]),
+        deconv_impl=cfg["deconv"],
         compute_dtype=cfg["dtype"])
-    train_cfg = cfg_lib.TrainConfig(batch_size=cfg["batch"])
+    train_cfg = cfg_lib.TrainConfig(batch_size=cfg["batch"],
+                                    flatten_optimizer=bool(cfg["flatten"]))
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
     step = make_train_step(model, tx, model_cfg, train_cfg, donate=True)
@@ -67,16 +70,18 @@ def run_one(cfg, warmup=5, iters=30):
     )
     key = jax.random.PRNGKey(0)
 
+    # value-fetch synchronization: block_until_ready lies on this platform
+    # (see ccvpe_tpu.core.profiling.sync / tools/microbench_tpu.py)
     t_compile = time.perf_counter()
     for _ in range(warmup):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     compile_s = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / iters
     return {"config": cfg, "ms_per_step": round(dt * 1000, 3),
             "pairs_per_s": round(b / dt, 2),

@@ -1,0 +1,156 @@
+"""Capture a device trace of the bench train step and print the top ops.
+
+Runs the same configuration as bench.py (VIGOR, remat backbone, batch 32) on
+the real TPU, captures an XPlane trace of a few steps, and aggregates
+per-HLO-op device time via jax.profiler.ProfileData. Output: top ops by self
+time + a coarse category breakdown (backbone convs / decoder convs / matmuls /
+elementwise / reduce / other) to guide kernel work.
+
+Usage: python tools/profile_step.py [--batch 32] [--out /tmp/ccvpe_trace]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_step(batch):
+    import dataclasses
+
+    from ccvpe_tpu.core import config as cfg_lib
+    from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
+
+    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True)
+    train_cfg = cfg_lib.TrainConfig(batch_size=batch)
+    model, state, tx = create_train_state(model_cfg, train_cfg,
+                                          jax.random.PRNGKey(17))
+    step = make_train_step(model, tx, model_cfg, train_cfg, donate=True)
+    rng = np.random.default_rng(0)
+    hg, wg = model_cfg.grd_size
+    hs, ws = model_cfg.sat_size
+    data = Batch(
+        grd=jnp.asarray(rng.normal(size=(batch, hg, wg, 3)).astype(np.float32)),
+        sat=jnp.asarray(rng.normal(size=(batch, hs, ws, 3)).astype(np.float32)),
+        row_offset=jnp.asarray(rng.uniform(-100, 100, batch).astype(np.float32)),
+        col_offset=jnp.asarray(rng.uniform(-100, 100, batch).astype(np.float32)),
+        angle_deg=jnp.asarray(rng.uniform(0, 360, batch).astype(np.float32)),
+    )
+    return step, state, data
+
+
+def aggregate_trace(logdir):
+    """Sum device-plane event durations by event name."""
+    from jax.profiler import ProfileData
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    path = max(paths, key=os.path.getmtime)
+    with open(path, "rb") as f:
+        data = ProfileData.from_serialized_xspace(f.read())
+    per_op = collections.Counter()
+    planes = 0
+    for plane in data.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        planes += 1
+        for line in plane.lines:
+            # ONLY the serialized compute timeline; 'XLA Modules', 'Steps'
+            # and 'Async XLA Ops' overlap it and would multi-count.
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                per_op[ev.name] += ev.duration_ns
+    return path, planes, per_op
+
+
+def categorize(name):
+    low = name.lower()
+    if "remat_compressed" in low or "remat_uncompressed" in low:
+        return "remat-compress-copy"
+    if "copy-start" in low or "copy-done" in low:
+        return "async-copy (DMA)"
+    if "copy" in low:
+        return "layout-copy"
+    if "convolution" in low:
+        return "convolution"
+    if "dot" in low:
+        return "dot"
+    if "all-reduce" in low or "all-gather" in low:
+        return "collective"
+    if "fusion" in low:
+        return "fusion"
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out", default="/tmp/ccvpe_trace")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+    step, state, data = build_step(args.batch)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, data, key)
+    float(jax.device_get(metrics["loss"]))  # value-fetch sync; block_until_ready lies here
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
+    for _ in range(3):
+        state, metrics = step(state, data, key)
+    float(jax.device_get(metrics["loss"]))  # value-fetch sync; block_until_ready lies here
+
+    jax.profiler.start_trace(args.out)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, data, key)
+    float(jax.device_get(metrics["loss"]))  # value-fetch sync; block_until_ready lies here
+    dt = (time.perf_counter() - t0) / args.steps
+    jax.profiler.stop_trace()
+    print(f"traced {args.steps} steps @ {dt * 1e3:.2f} ms/step "
+          f"({args.batch / dt:.0f} pairs/s)", flush=True)
+
+    path, planes, per_op = aggregate_trace(args.out)
+    total = sum(per_op.values())
+    print(f"trace: {path} device_planes={planes} "
+          f"total_device_ns={total}")
+    cats = collections.Counter()
+    for name, ns in per_op.items():
+        cats[categorize(name)] += ns
+    print("\n== category breakdown ==")
+    for cat, ns in cats.most_common():
+        print(f"{ns / total * 100:6.2f}%  {ns / args.steps / 1e6:8.3f} ms/step  {cat}")
+    print(f"\n== top {args.top} ops ==")
+    for name, ns in per_op.most_common(args.top):
+        print(f"{ns / total * 100:6.2f}%  {ns / args.steps / 1e6:8.3f} ms/step  {name[:140]}")
+
+    summary = {
+        "ms_per_step": dt * 1e3,
+        "pairs_per_s": args.batch / dt,
+        "categories": {c: ns / args.steps / 1e6 for c, ns in cats.items()},
+        "top_ops": [(n, ns / args.steps / 1e6)
+                    for n, ns in per_op.most_common(args.top)],
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\nwrote {os.path.join(args.out, 'summary.json')}")
+
+
+if __name__ == "__main__":
+    main()
