@@ -31,7 +31,8 @@ TORCH_CPU_PAIRS_PER_S = 0.0432
 
 # Throughput-optimal single-chip configuration (docs/PERFORMANCE.md):
 # backbone rematerialization is gradient-identical and removes the
-# activation-traffic bottleneck; batch 32 is the v5e sweet spot (64 OOMs).
+# activation-traffic bottleneck; deconv_impl='conv' avoids the einsum
+# variant's 6-D padded temporaries (batch 32 OOMs without it).
 BATCH = 32
 WARMUP = 5
 ITERS = 30
@@ -43,7 +44,8 @@ def main():
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
-    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True)
+    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
+                                    deconv_impl="conv")
     train_cfg = cfg_lib.TrainConfig(batch_size=BATCH)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))

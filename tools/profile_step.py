@@ -31,7 +31,8 @@ def build_step(batch):
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
-    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True)
+    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
+                                    deconv_impl="conv")
     train_cfg = cfg_lib.TrainConfig(batch_size=batch)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
