@@ -30,10 +30,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 TORCH_CPU_PAIRS_PER_S = 0.0432
 
 # Throughput-optimal single-chip configuration (docs/PERFORMANCE.md):
-# backbone rematerialization is gradient-identical and removes the
-# activation-traffic bottleneck; deconv_impl='conv' avoids the einsum
-# variant's 6-D padded temporaries (batch 32 OOMs without it).
-BATCH = 32
+# bf16 activations on the conv paths (the step is HBM-bandwidth-bound at the
+# fine decoder resolutions; params/BN/correlation/losses stay f32), backbone
+# rematerialization (gradient-identical), deconv_impl='conv' (avoids the
+# einsum variant's 6-D padded temporaries), batch 64 (batch 128 exceeds the
+# remote compile helper's limits on this platform).
+BATCH = 64
+DTYPE = "bfloat16"
 WARMUP = 5
 ITERS = 30
 
@@ -45,7 +48,7 @@ def main():
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
     model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
-                                    deconv_impl="conv")
+                                    deconv_impl="conv", compute_dtype=DTYPE)
     train_cfg = cfg_lib.TrainConfig(batch_size=BATCH)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))

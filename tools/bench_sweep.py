@@ -81,11 +81,12 @@ def run_one(cfg, warmup=5, iters=30):
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, key)
-    float(jax.device_get(metrics["loss"]))
+    loss = float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / iters
     return {"config": cfg, "ms_per_step": round(dt * 1000, 3),
             "pairs_per_s": round(b / dt, 2),
-            "warmup_s": round(compile_s, 1)}
+            "warmup_s": round(compile_s, 1),
+            "final_loss": round(loss, 4)}   # finite-ness check (bf16 runs)
 
 
 def main():

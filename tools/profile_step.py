@@ -77,23 +77,64 @@ def aggregate_trace(logdir):
     return path, planes, per_op
 
 
+import re
+
+_OPCODE_RE = re.compile(r"%\S+ = .*?([a-z][a-z0-9._-]*)\(")
+
+
+def opcode(name):
+    """Extract the HLO opcode from a full-text op name.
+
+    Event names are full HLO instructions including the operand list, e.g.
+    '%fusion.14 = (f32[...], ...) fusion(f32[...] %copy-done.665, ...)'.
+    Substring tests against the whole name misattribute ops (any fusion with
+    a %copy-done OPERAND would look like a copy), so parse the opcode token:
+    the last lowercase identifier before the first '(' that opens the operand
+    list. Tuple-shaped results contain T(8,128) layout parens, so take the
+    LAST identifier-paren match on the left of the operand list by scanning
+    non-greedily from '= ' and requiring the token isn't part of a layout.
+    """
+    head = name.split(" %", 1)[0]          # up to the first operand
+    m = None
+    for m in re.finditer(r"([a-z][a-z0-9._-]*)\(", head):
+        pass                                # keep the last match
+    if m and m.group(1) not in ("T", "S"):
+        return m.group(1)
+    return "?"
+
+
 def categorize(name):
-    low = name.lower()
-    if "remat_compressed" in low or "remat_uncompressed" in low:
-        return "remat-compress-copy"
-    if "copy-start" in low or "copy-done" in low:
-        return "async-copy (DMA)"
-    if "copy" in low:
+    op = opcode(name)
+    if op in ("copy-start", "copy-done"):
+        return "async-copy"
+    if op == "copy":
         return "layout-copy"
-    if "convolution" in low:
+    if op in ("transpose", "reverse", "reshape", "bitcast", "slice",
+              "concatenate", "pad"):
+        return "data-movement"
+    if op == "convolution":
         return "convolution"
-    if "dot" in low:
-        return "dot"
-    if "all-reduce" in low or "all-gather" in low:
+    if op in ("dot", "custom-call"):
+        return "dot/custom"
+    if "all-reduce" in op or "all-gather" in op or "collective" in op:
         return "collective"
-    if "fusion" in low:
+    if op == "fusion":
+        low = name.lower()
+        if "remat_compressed" in low or "remat_uncompressed" in low:
+            return "remat-compress-copy"
         return "fusion"
-    return "other"
+    return f"other ({op})"
+
+
+def max_activation_res(name, batch):
+    """Largest spatial dim of any [batch, H, W, C] tensor in the op text -
+    a proxy for which model stage the op belongs to."""
+    best = 0
+    for m in re.finditer(r"\[(\d+(?:,\d+){3})\]", name):
+        dims = [int(x) for x in m.group(1).split(",")]
+        if dims[0] == batch:
+            best = max(best, dims[1])
+    return best
 
 
 def main():
@@ -137,6 +178,19 @@ def main():
     print("\n== category breakdown ==")
     for cat, ns in cats.most_common():
         print(f"{ns / total * 100:6.2f}%  {ns / args.steps / 1e6:8.3f} ms/step  {cat}")
+
+    # time by activation resolution: which model stage is expensive
+    byres = collections.Counter()
+    nres = collections.Counter()
+    for name, ns in per_op.items():
+        r = max_activation_res(name, args.batch)
+        byres[r] += ns
+        nres[r] += 1
+    print("\n== time by max activation resolution ==")
+    for r, ns in sorted(byres.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"res {r:5d}: {ns / args.steps / 1e6:8.1f} ms/step "
+              f"({nres[r]} distinct ops)")
+
     print(f"\n== top {args.top} ops ==")
     for name, ns in per_op.most_common(args.top):
         print(f"{ns / total * 100:6.2f}%  {ns / args.steps / 1e6:8.3f} ms/step  {name[:140]}")
@@ -145,6 +199,8 @@ def main():
         "ms_per_step": dt * 1e3,
         "pairs_per_s": args.batch / dt,
         "categories": {c: ns / args.steps / 1e6 for c, ns in cats.items()},
+        "by_resolution": {str(r): ns / args.steps / 1e6
+                          for r, ns in byres.items()},
         "top_ops": [(n, ns / args.steps / 1e6)
                     for n, ns in per_op.most_common(args.top)],
     }
