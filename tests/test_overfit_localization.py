@@ -40,8 +40,13 @@ def learnable_batch(cfg, batch_size, seed):
 
 
 @pytest.mark.slow
-def test_localization_becomes_learnable():
-    cfg = cfg_lib.tiny()
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_localization_becomes_learnable(dtype):
+    """Runs in both f32 and the benchmark's bf16 mixed-precision mode
+    (conv-path activations bf16; params/BN/correlation/losses f32) - the
+    bf16 path must remain just as learnable."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg_lib.tiny(), compute_dtype=dtype)
     train_cfg = cfg_lib.TrainConfig(batch_size=8, learning_rate=1e-3)
     model, state, tx = create_train_state(cfg, train_cfg, jax.random.PRNGKey(17))
     step = make_train_step(model, tx, cfg, train_cfg, donate=False)

@@ -6,11 +6,18 @@ train_OxfordRobotCar.py:195-397). This measures our equivalent: the
 forward + on-device pose decode used by stream_eval / InferenceEngine,
 on synthetic Oxford-geometry inputs (154x231 ground, 512^2 aerial).
 
-Timing is per-batch VALUE-fetch synced - every batch's decoded poses are
-pulled to the host before the next batch is dispatched, exactly like the
-real streaming loop (ccvpe_tpu/train/stream.py fetches poses per batch).
-block_until_ready is never used (it returns early on this platform,
-docs/PERFORMANCE.md).
+Two measurements per batch size (both value-fetch synced per batch - every
+batch's decoded poses are pulled to the host before the next dispatch,
+exactly like the real streaming loop; block_until_ready is never used, it
+returns early on this platform, docs/PERFORMANCE.md):
+
+  * device FPS   - inputs staged on device once; measures model inference
+                   rate (the framework metric; on a real TPU host the input
+                   DMA overlaps compute and this is the end-to-end rate).
+  * ingest FPS   - fresh uint8 numpy arrays shipped every batch; on THIS
+                   container the H2D path crosses the axon tunnel at
+                   ~25 MB/s (also probed and reported), so this measures
+                   the tunnel, not the framework - recorded for honesty.
 
 Usage: python tools/bench_stream.py [--batches 1,8,32] [--dtype bfloat16]
 Appends one JSON line per config to --out.
@@ -26,6 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
@@ -34,10 +42,11 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
-def run_one(batch, dtype, warmup=3, iters=30):
+def run_one(batch, dtype, warmup=3, iters=20):
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.models.cvm import CVM
     from ccvpe_tpu.ops import pose
+    from ccvpe_tpu.train.step import device_normalize
 
     model_cfg = dataclasses.replace(cfg_lib.oxford(), compute_dtype=dtype)
     model = CVM(model_cfg)
@@ -49,30 +58,46 @@ def run_one(batch, dtype, warmup=3, iters=30):
                            np.zeros((1, hs, ws, 3), np.float32), False)
 
     def fn(variables, grd, sat):
-        out = model.apply(variables, grd, sat, False)
+        out = model.apply(variables, device_normalize(grd),
+                          device_normalize(sat), False)
         return pose.decode_pose(out.heatmap, out.ori)
 
     fn = jax.jit(fn)
-    grd = np.ascontiguousarray(
-        rng.normal(size=(batch, hg, wg, 3)).astype(np.float32))
-    sat = np.ascontiguousarray(
-        rng.normal(size=(batch, hs, ws, 3)).astype(np.float32))
+    # uint8 ingest: raw pixels, normalized on device (4x less H2D than f32)
+    grd_np = rng.integers(0, 255, size=(batch, hg, wg, 3), dtype=np.uint8)
+    sat_np = rng.integers(0, 255, size=(batch, hs, ws, 3), dtype=np.uint8)
 
     t0 = time.perf_counter()
     for _ in range(warmup):
-        rows, cols, ang = fn(variables, grd, sat)
-        np.asarray(rows)  # value fetch
+        rows, _, _ = fn(variables, grd_np, sat_np)
+        np.asarray(rows)
     compile_s = time.perf_counter() - t0
 
+    # device FPS: inputs staged once
+    grd_dev, sat_dev = jnp.asarray(grd_np), jnp.asarray(sat_np)
     t0 = time.perf_counter()
     for _ in range(iters):
-        rows, cols, ang = fn(variables, grd, sat)
-        # per-batch host fetch of the decoded poses, like the real stream
+        rows, cols, ang = fn(variables, grd_dev, sat_dev)
         np.asarray(rows), np.asarray(cols), np.asarray(ang)
-    dt = (time.perf_counter() - t0) / iters
+    dt_dev = (time.perf_counter() - t0) / iters
+
+    # ingest FPS: ship fresh uint8 arrays each batch (tunnel-limited here)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rows, cols, ang = fn(variables, grd_np, sat_np)
+        np.asarray(rows), np.asarray(cols), np.asarray(ang)
+    dt_h2d = (time.perf_counter() - t0) / iters
+
+    mb_per_batch = (grd_np.nbytes + sat_np.nbytes) / 1e6
+    # implied tunnel H2D rate from the ingest-vs-device delta
+    h2d_mb_s = mb_per_batch / max(dt_h2d - dt_dev, 1e-9)
     return {"batch": batch, "dtype": dtype,
-            "ms_per_batch": round(dt * 1e3, 3),
-            "fps": round(batch / dt, 2),
+            "device_ms_per_batch": round(dt_dev * 1e3, 3),
+            "device_fps": round(batch / dt_dev, 2),
+            "ingest_ms_per_batch": round(dt_h2d * 1e3, 3),
+            "ingest_fps": round(batch / dt_h2d, 2),
+            "h2d_mb_per_batch": round(mb_per_batch, 1),
+            "implied_h2d_mb_per_s": round(h2d_mb_s, 1),
             "warmup_s": round(compile_s, 1)}
 
 
@@ -80,7 +105,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="1,8,32")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--out", default="/tmp/bench_stream.jsonl")
     args = p.parse_args()
 

@@ -25,14 +25,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_step(batch):
+def build_step(batch, dtype="float32"):
     import dataclasses
 
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
     model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
-                                    deconv_impl="conv")
+                                    deconv_impl="conv", compute_dtype=dtype)
     train_cfg = cfg_lib.TrainConfig(batch_size=batch)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
@@ -140,6 +140,7 @@ def max_activation_res(name, batch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dtype", default="float32")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="/tmp/ccvpe_trace")
     ap.add_argument("--top", type=int, default=40)
@@ -147,7 +148,7 @@ def main():
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
-    step, state, data = build_step(args.batch)
+    step, state, data = build_step(args.batch, args.dtype)
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
