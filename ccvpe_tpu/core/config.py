@@ -151,6 +151,15 @@ class TrainConfig:
     # op-count cut on per-op-overhead-bound TPU platforms (docs/PERFORMANCE.md)
     flatten_optimizer: bool = True
     batch_size: int = 8          # global batch
+    # microbatching: split each batch into N sequential microbatches inside
+    # the jitted step (lax.scan), averaging gradients before one optimizer
+    # update - trains effective batches beyond the HBM / compile-size
+    # ceiling (batch 64 is the largest single-shot VIGOR step on one v5e).
+    # Gradient mean over microbatches equals the full-batch gradient for the
+    # per-sample-mean losses; BN batch statistics are per-microbatch (the
+    # standard accumulation semantics), and infonce_global_negatives pools
+    # within a microbatch only.
+    grad_accum_steps: int = 1
     epochs: int = 15             # VIGOR 15, KITTI 6, Oxford 50
     weight_infonce: float = 1e4
     weight_ori: float = 1e1

@@ -168,14 +168,44 @@ def make_loss_fn(model: CVM, model_cfg: ModelConfig, train_cfg: TrainConfig):
 def make_train_step(model: CVM, tx: optax.GradientTransformation,
                     model_cfg: ModelConfig, train_cfg: TrainConfig,
                     donate: bool = True):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    With train_cfg.grad_accum_steps > 1 the batch is processed as that many
+    sequential microbatches inside one XLA program (lax.scan over the leading
+    microbatch axis), gradients averaged, one optimizer update. Replaces
+    nothing in the reference (single-device, batch 8); this is the scale-up
+    path for effective batches beyond single-shot memory/compile limits.
+    """
 
     loss_fn = make_loss_fn(model, model_cfg, train_cfg)
+    accum = train_cfg.grad_accum_steps
+
+    def grad_one(params, batch_stats, mb: Batch, rng):
+        return jax.grad(loss_fn, has_aux=True)(params, batch_stats, mb, rng)
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng)
+        if accum > 1:
+            b = batch.grd.shape[0]
+            assert b % accum == 0, (b, accum)
+            mbs = Batch(*(x.reshape(accum, b // accum, *x.shape[1:])
+                          for x in batch))
+
+            def body(carry, mb):
+                stats, grad_sum = carry
+                grads, (stats, metrics) = grad_one(
+                    state.params, stats, mb, rng)
+                grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+                return (stats, grad_sum), metrics
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grad_sum), ms = jax.lax.scan(
+                body, (state.batch_stats, zeros), mbs)
+            grads = jax.tree.map(lambda g: g / accum, grad_sum)
+            metrics = jax.tree.map(jnp.mean, ms)
+        else:
+            grads, (new_stats, metrics) = grad_one(
+                state.params, state.batch_stats, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, new_stats, opt_state), metrics

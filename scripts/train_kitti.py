@@ -18,6 +18,8 @@ def main():
     p.add_argument("--training", default="True", choices=["True", "False"])
     p.add_argument("-l", "--learning_rate", type=float, default=1e-4)
     p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (lax.scan)")
     p.add_argument("--weight_ori", type=float, default=1e1)
     p.add_argument("--weight_infoNCE", type=float, default=1e4)
     p.add_argument("--shift_range_lat", type=float, default=20)
@@ -41,6 +43,7 @@ def main():
         model_cfg = cfg_lib.kitti()
         train_cfg = cfg_lib.TrainConfig(
             learning_rate=args.learning_rate, batch_size=args.batch_size,
+            grad_accum_steps=args.grad_accum,
             epochs=args.epochs, weight_ori=args.weight_ori,
             weight_infonce=args.weight_infoNCE)
         train_set = KittiDataset(args.root, args.train_file, train=True,

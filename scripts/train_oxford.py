@@ -19,6 +19,8 @@ def main():
     p.add_argument("--training", default="True", choices=["True", "False"])
     p.add_argument("-l", "--learning_rate", type=float, default=1e-4)
     p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (lax.scan)")
     p.add_argument("--weight_ori", type=float, default=1e1)
     p.add_argument("--weight_infoNCE", type=float, default=1e4)
     p.add_argument("--epochs", type=int, default=50)
@@ -39,6 +41,7 @@ def main():
         from ccvpe_tpu.train.trainer import Trainer
         train_cfg = cfg_lib.TrainConfig(
             learning_rate=args.learning_rate, batch_size=args.batch_size,
+            grad_accum_steps=args.grad_accum,
             epochs=args.epochs, weight_ori=args.weight_ori,
             weight_infonce=args.weight_infoNCE)
         train_set = OxfordDataset(args.grd_root, args.sat_path, split="train",
