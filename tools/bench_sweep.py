@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 def parse_config(s):
     out = {"batch": 32, "remat_backbone": 1, "remat_decoder": 0,
            "dtype": "float32", "preset": "vigor", "deconv": "einsum",
-           "flatten": 1}
+           "flatten": 1, "accum": 1}
     for kv in s.split(","):
         k, v = kv.split("=")
         out[k] = v if k in ("dtype", "preset", "deconv") else int(v)
@@ -52,7 +52,8 @@ def run_one(cfg, warmup=5, iters=30):
         deconv_impl=cfg["deconv"],
         compute_dtype=cfg["dtype"])
     train_cfg = cfg_lib.TrainConfig(batch_size=cfg["batch"],
-                                    flatten_optimizer=bool(cfg["flatten"]))
+                                    flatten_optimizer=bool(cfg["flatten"]),
+                                    grad_accum_steps=cfg["accum"])
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
     step = make_train_step(model, tx, model_cfg, train_cfg, donate=True)
