@@ -156,6 +156,28 @@ def test_grad_accum_matches_single_shot(tiny_setup):
     assert max(jax.tree.leaves(changed)) > 0
 
 
+def test_grad_accum_composes_with_dp_mesh(tiny_setup):
+    """grad_accum under data-parallel input sharding must compile and run
+    (lax.scan over microbatches + GSPMD batch sharding): loss finite and
+    equal to the unsharded accum step."""
+    import dataclasses
+
+    model_cfg, train_cfg, model, state, tx = tiny_setup
+    cfg = dataclasses.replace(train_cfg, batch_size=16, grad_accum_steps=2)
+    step = make_train_step(model, tx, model_cfg, cfg, donate=False)
+    batch = synthetic_batch(model_cfg, 16, seed=7)
+    rng = jax.random.PRNGKey(4)
+
+    _, m_single = step(state, batch, rng)
+
+    mesh = make_mesh()
+    rep = replicated(mesh)
+    _, m_dp = step(jax.device_put(state, rep), shard_batch(mesh, batch), rng)
+    assert np.isfinite(float(m_dp["loss"]))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
+                               rtol=2e-4)
+
+
 def test_eval_step_outputs(tiny_setup):
     model_cfg, train_cfg, model, state, tx = tiny_setup
     eval_step = make_eval_step(model, model_cfg)
