@@ -17,12 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: the full train-step compile is minutes-long;
-# cache it across bench invocations
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+# persistent compilation cache: the full train-step compile is minutes-long
+from ccvpe_tpu.core.profiling import enable_compile_cache
+
+enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
 # Measured in-container: reference PyTorch-CPU CVM_VIGOR train step
 # (batch 8, forward+losses+backward+Adam, 185.1 s/step averaged over 3 steps

@@ -9,6 +9,7 @@ prints running losses only, train_VIGOR.py:155-157).
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -24,9 +25,43 @@ def sync(tree) -> Any:
     block_until_ready while the device trace showed 551 ms/step of real
     execution; see tools/microbench_tpu.py). Fetching values cannot lie -
     the bytes only exist once the program ran. All timing in this repo must
-    synchronize through this function, never through block_until_ready.
+    synchronize through this function or sync_element, never through
+    block_until_ready.
+
+    CAUTION for timing loops: this downloads the WHOLE pytree. On the axon
+    tunnel D2H runs at ~50 MB/s, so fetching a large output dominates the
+    measurement - use sync_element for big outputs.
     """
     return jax.device_get(tree)
+
+
+def sync_element(tree) -> float:
+    """Value-fetch sync that downloads ONE element of the first leaf.
+
+    Fetching any element of an output buffer waits for the whole producing
+    executable, so this is a correct completion barrier with O(bytes)=4 -
+    the right sync for timing loops whose outputs are large (see sync()).
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+
+def enable_compile_cache(repo_dir: Optional[str] = None,
+                         min_compile_secs: int = 10) -> None:
+    """Point the persistent XLA compilation cache at <repo>/.jax_cache.
+
+    Full-model TPU compiles are minutes-long through the remote-compile
+    tunnel; the cache makes repeat invocations of the bench/profiling tools
+    cheap (note: the remote path does not share cache entries across
+    processes for all executables - budget compile time regardless).
+    """
+    if repo_dir is None:
+        repo_dir = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo_dir, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
 
 
 @contextlib.contextmanager

@@ -191,16 +191,21 @@ def make_train_step(model: CVM, tx: optax.GradientTransformation,
             mbs = Batch(*(x.reshape(accum, b // accum, *x.shape[1:])
                           for x in batch))
 
-            def body(carry, mb):
+            def body(carry, xs):
+                mb, idx = xs
                 stats, grad_sum = carry
+                # fold the microbatch index so dropout / drop-connect masks
+                # are independent across microbatches (an effective batch of
+                # A*m must draw A*m independent masks, not m repeated A times)
                 grads, (stats, metrics) = grad_one(
-                    state.params, stats, mb, rng)
+                    state.params, stats, mb, jax.random.fold_in(rng, idx))
                 grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
                 return (stats, grad_sum), metrics
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
             (new_stats, grad_sum), ms = jax.lax.scan(
-                body, (state.batch_stats, zeros), mbs)
+                body, (state.batch_stats, zeros),
+                (mbs, jnp.arange(accum)))
             grads = jax.tree.map(lambda g: g / accum, grad_sum)
             metrics = jax.tree.map(jnp.mean, ms)
         else:

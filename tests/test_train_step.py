@@ -107,10 +107,9 @@ def test_flattened_optimizer_matches_per_tensor(tiny_setup):
 
 def test_grad_accum_matches_single_shot(tiny_setup):
     """grad_accum_steps=2 on a batch made of two identical halves must
-    produce the same parameter update as a single-shot step on one half
-    (the two microbatch gradients are identical, their mean equals the
-    half-batch gradient; train-mode BN normalizes by microbatch statistics,
-    which are equal for identical halves).
+    produce the mean of the two per-microbatch gradients, where microbatch i
+    draws its dropout masks from fold_in(fold_in(rng, step), i) - computed
+    here manually through make_loss_fn as the expected update.
 
     Compared under SGD so parameter deltas ARE gradients - Adam at step 1
     normalizes g/|g|, which amplifies roundoff-level graph differences into
@@ -119,32 +118,44 @@ def test_grad_accum_matches_single_shot(tiny_setup):
 
     import optax
 
+    from ccvpe_tpu.train.step import make_loss_fn
+
     model_cfg, train_cfg, model, state, tx_unused = tiny_setup
-    tx = optax.sgd(1e-3)
+    lr = 1e-3
+    tx = optax.sgd(lr)
     state = state._replace(opt_state=tx.init(state.params))
 
-    cfg1 = dataclasses.replace(train_cfg, batch_size=4)
     cfg2 = dataclasses.replace(train_cfg, batch_size=8, grad_accum_steps=2)
-    step1 = make_train_step(model, tx, model_cfg, cfg1, donate=False)
     step2 = make_train_step(model, tx, model_cfg, cfg2, donate=False)
 
     half = synthetic_batch(model_cfg, 4, seed=5)
     dup = Batch(*(jnp.concatenate([x, x], axis=0) for x in half))
     rng = jax.random.PRNGKey(2)
 
-    s1, m1 = step1(state, half, rng)
     s2, m2 = step2(state, dup, rng)
 
-    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # expected: mean of the two microbatch grads (identical halves, but
+    # per-microbatch folded rng -> different drop-connect masks)
+    loss_fn = make_loss_fn(model, model_cfg, cfg2)
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+    rng_step = jax.random.fold_in(rng, state.step)
+    g0, (_, mm0) = grad_fn(state.params, state.batch_stats, half,
+                           jax.random.fold_in(rng_step, 0))
+    g1, (_, mm1) = grad_fn(state.params, state.batch_stats, half,
+                           jax.random.fold_in(rng_step, 1))
+
+    np.testing.assert_allclose(
+        float(m2["loss"]),
+        (float(mm0["loss"]) + float(mm1["loss"])) / 2, rtol=1e-5)
     # Per-leaf elementwise comparison is noise-dominated on cancellation-heavy
     # BN bias/scale gradient sums (the scan graph reduces in a different
     # order; see test_dp_sharded_grads_match_single_device for the same
     # effect). Assert global relative L2 agreement of the update vector -
     # any real accumulation bug (wrong microbatch split, missing /accum,
-    # stale batch_stats) is an O(1) relative error here.
+    # wrong rng fold, stale batch_stats) is an O(1) relative error here.
     da = jnp.concatenate([
-        (a - a0).ravel() for a0, a in zip(jax.tree.leaves(state.params),
-                                          jax.tree.leaves(s1.params))])
+        (-lr * 0.5 * (a + b)).ravel()
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1))])
     db = jnp.concatenate([
         (b - a0).ravel() for a0, b in zip(jax.tree.leaves(state.params),
                                           jax.tree.leaves(s2.params))])

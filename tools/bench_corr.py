@@ -24,31 +24,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+from ccvpe_tpu.core.profiling import enable_compile_cache, sync_element
+
+enable_compile_cache()
 
 # effective single-op HBM rate measured on this platform (docs/PERFORMANCE.md)
 HBM_GB_S = 580.0
 
 
-def sync(out):
-    """Value-fetch sync that downloads ONE element, not the whole output
-    (a full-output fetch crosses the tunnel at ~50 MB/s and would dominate
-    the measurement). Fetching any element waits for the whole producing
-    executable."""
-    leaf = jax.tree.leaves(out)[0]
-    float(jax.device_get(leaf[(0,) * leaf.ndim]))
-
-
 def bench(fn, args, iters=50):
     out = fn(*args)
-    sync(out)  # compile + sync
+    sync_element(out)  # compile + sync; full-output fetch would dominate
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    sync(out)
+    sync_element(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -36,10 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+from ccvpe_tpu.core.profiling import enable_compile_cache
+
+enable_compile_cache()
 
 
 def run_one(batch, dtype, warmup=3, iters=20):
@@ -89,15 +88,18 @@ def run_one(batch, dtype, warmup=3, iters=20):
     dt_h2d = (time.perf_counter() - t0) / iters
 
     mb_per_batch = (grd_np.nbytes + sat_np.nbytes) / 1e6
-    # implied tunnel H2D rate from the ingest-vs-device delta
-    h2d_mb_s = mb_per_batch / max(dt_h2d - dt_dev, 1e-9)
+    # implied tunnel H2D rate from the ingest-vs-device delta; meaningless
+    # when the delta is within timing noise (small batches), so omit it then
+    delta = dt_h2d - dt_dev
+    h2d_mb_s = (round(mb_per_batch / delta, 1)
+                if delta > 0.2 * dt_dev else None)
     return {"batch": batch, "dtype": dtype,
             "device_ms_per_batch": round(dt_dev * 1e3, 3),
             "device_fps": round(batch / dt_dev, 2),
             "ingest_ms_per_batch": round(dt_h2d * 1e3, 3),
             "ingest_fps": round(batch / dt_h2d, 2),
             "h2d_mb_per_batch": round(mb_per_batch, 1),
-            "implied_h2d_mb_per_s": round(h2d_mb_s, 1),
+            "implied_h2d_mb_per_s": h2d_mb_s,
             "warmup_s": round(compile_s, 1)}
 
 

@@ -15,6 +15,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 import time
 
@@ -77,11 +78,6 @@ def aggregate_trace(logdir):
     return path, planes, per_op
 
 
-import re
-
-_OPCODE_RE = re.compile(r"%\S+ = .*?([a-z][a-z0-9._-]*)\(")
-
-
 def opcode(name):
     """Extract the HLO opcode from a full-text op name.
 
@@ -89,18 +85,15 @@ def opcode(name):
     '%fusion.14 = (f32[...], ...) fusion(f32[...] %copy-done.665, ...)'.
     Substring tests against the whole name misattribute ops (any fusion with
     a %copy-done OPERAND would look like a copy), so parse the opcode token:
-    the last lowercase identifier before the first '(' that opens the operand
-    list. Tuple-shaped results contain T(8,128) layout parens, so take the
-    LAST identifier-paren match on the left of the operand list by scanning
-    non-greedily from '= ' and requiring the token isn't part of a layout.
+    the last lowercase-initial identifier before a '(' on the left of the
+    operand list (tuple-shaped results contain T(8,128) layout parens, which
+    never match because layout tags are uppercase).
     """
     head = name.split(" %", 1)[0]          # up to the first operand
     m = None
     for m in re.finditer(r"([a-z][a-z0-9._-]*)\(", head):
         pass                                # keep the last match
-    if m and m.group(1) not in ("T", "S"):
-        return m.group(1)
-    return "?"
+    return m.group(1) if m else "?"
 
 
 def categorize(name):
