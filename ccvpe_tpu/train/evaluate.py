@@ -7,7 +7,6 @@ train_OxfordRobotCar.py:195-397.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional
 
 import jax
@@ -58,14 +57,13 @@ def evaluate_vigor(args, ori_noise: float, circular: bool) -> Dict[str, float]:
     from ccvpe_tpu.data.loader import ThreadedLoader
     from ccvpe_tpu.data.vigor import VIGORDataset
 
-    # pre-defined random test orientations (train_VIGOR.py:73-79)
+    # pre-defined random test orientations (train_VIGOR.py:73-79). Loading
+    # raises if no fixture source exists - the unknown-orientation eval must
+    # not silently degrade to fresh random orientations.
     random_orientation = None
     if ori_noise == 180.0:
-        fixture = os.path.join(
-            os.environ.get("CCVPE_REFERENCE", "/root/reference"),
-            f"{args.area}_orientation_test.npy")
-        if os.path.exists(fixture):
-            random_orientation = np.load(fixture)
+        from ccvpe_tpu.data.fixtures import load_orientation_fixture
+        random_orientation = load_orientation_fixture(args.area)
 
     dataset = VIGORDataset(args.root, split=args.area, train=False,
                            ori_noise=ori_noise,

@@ -27,7 +27,7 @@ def main():
     p.add_argument("--workdir", default="runs/oxford")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num_workers", type=int, default=8)
-    p.add_argument("--image_dtype", default="float32",
+    p.add_argument("--image_dtype", default="uint8",
                    choices=["float32", "uint8"],
                    help="uint8 ships raw pixels and normalizes on device")
     args = p.parse_args()
