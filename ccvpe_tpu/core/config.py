@@ -168,6 +168,16 @@ class TrainConfig:
     # False reproduces the reference's per-sample denominator exactly
     infonce_global_negatives: bool = False
     seed: int = 17
+    # --- initialization ---
+    # Path to ImageNet EfficientNet-B0 weights (torch .pt/.pth state dict or
+    # an .npz of the same keys): fills BOTH encoders before the first step,
+    # matching the reference's default init (models.py:55,99,
+    # efficientnet_pytorch/utils.py:729-758). The published accuracy depends
+    # on this init.
+    pretrained_backbone: Optional[str] = None
+    # Path to a FULL reference CVM .pt state dict to warm-start every weight
+    # from (heads/decoders included); overrides pretrained_backbone.
+    warm_start: Optional[str] = None
     # sharding
     data_axis: str = "data"
     model_axis: str = "model"

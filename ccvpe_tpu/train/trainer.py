@@ -73,6 +73,39 @@ class Trainer:
             self.state = jax.device_put(restored, replicated(self.mesh))
             self.restored = True
             print(f"resumed from step {int(self.state.step)}")
+        elif train_cfg.warm_start or train_cfg.pretrained_backbone:
+            self._apply_initial_weights()
+
+    def _apply_initial_weights(self) -> None:
+        """Fill weights before the first step: either a full reference CVM
+        warm start, or ImageNet EfficientNet-B0 weights into BOTH encoders
+        (the reference's default init, models.py:55,99 +
+        efficientnet_pytorch/utils.py:729-758 - load-bearing for the
+        published accuracy). Optimizer state is re-created fresh."""
+        from ccvpe_tpu.utils.torch_convert import (
+            convert_cvm, init_with_pretrained_backbone, load_state_dict_numpy,
+            to_variables)
+        cfg = self.train_cfg
+        if cfg.warm_start:
+            sd = load_state_dict_numpy(cfg.warm_start)
+            params, stats = convert_cvm(sd, num_scales=self.model_cfg.num_scales)
+            variables = to_variables(params, stats, {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats})
+            print(f"warm start from {cfg.warm_start}")
+        else:
+            sd = load_state_dict_numpy(cfg.pretrained_backbone)
+            variables = init_with_pretrained_backbone(
+                {"params": jax.tree.map(np.asarray, self.state.params),
+                 "batch_stats": jax.tree.map(np.asarray, self.state.batch_stats)},
+                sd)
+            print(f"pretrained backbone init from {cfg.pretrained_backbone}")
+        new_params = variables["params"]
+        self.state = self.state._replace(
+            params=new_params,
+            batch_stats=variables.get("batch_stats", self.state.batch_stats),
+            opt_state=self.tx.init(new_params))
+        self.state = jax.device_put(self.state, replicated(self.mesh))
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
                     epoch: int, rng: jax.Array) -> None:

@@ -246,6 +246,18 @@ def init_with_pretrained_backbone(variables: Dict[str, Any],
     return result
 
 
+def load_state_dict_numpy(path: str) -> Dict[str, Array]:
+    """Load a torch .pt/.pth state dict or an .npz archive as a flat
+    {name: numpy array} dict (torch imported lazily, only for .pt/.pth)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: np.asarray(z[k]) for k in z.files}
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
+
+
 def unflatten(flat: Flat) -> Dict[str, Any]:
     tree: Dict[str, Any] = {}
     for path, value in flat.items():

@@ -29,6 +29,12 @@ def main():
     p.add_argument("--workdir", default="runs/kitti")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="ImageNet EfficientNet-B0 weights (.pt/.pth/.npz) to "
+                        "fill both encoders before training (the reference's "
+                        "default init, models.py:55,99)")
+    p.add_argument("--warm_start", default=None,
+                   help="full reference CVM .pt state dict to start from")
     p.add_argument("--image_dtype", default="uint8",
                    choices=["float32", "uint8"],
                    help="uint8 ships raw pixels and normalizes on device")
@@ -45,7 +51,9 @@ def main():
             learning_rate=args.learning_rate, batch_size=args.batch_size,
             grad_accum_steps=args.grad_accum,
             epochs=args.epochs, weight_ori=args.weight_ori,
-            weight_infonce=args.weight_infoNCE)
+            weight_infonce=args.weight_infoNCE,
+        pretrained_backbone=args.pretrained_backbone,
+        warm_start=args.warm_start)
         train_set = KittiDataset(args.root, args.train_file, train=True,
                                  shift_range_lat=args.shift_range_lat,
                                  shift_range_lon=args.shift_range_lon,

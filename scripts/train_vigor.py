@@ -37,6 +37,12 @@ def main():
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir (eval) or resume dir (train)")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="ImageNet EfficientNet-B0 weights (.pt/.pth/.npz) to "
+                        "fill both encoders before training (the reference's "
+                        "default init, models.py:55,99)")
+    p.add_argument("--warm_start", default=None,
+                   help="full reference CVM .pt state dict to start from")
     p.add_argument("--image_dtype", default="uint8",
                    choices=["float32", "uint8"],
                    help="uint8 ships raw pixels and normalizes on device "
@@ -58,7 +64,9 @@ def main():
         learning_rate=args.learning_rate, batch_size=args.batch_size,
         grad_accum_steps=args.grad_accum,
         epochs=args.epochs, weight_ori=args.weight_ori,
-        weight_infonce=args.weight_infoNCE)
+        weight_infonce=args.weight_infoNCE,
+        pretrained_backbone=args.pretrained_backbone,
+        warm_start=args.warm_start)
 
     if training:
         from ccvpe_tpu.train.trainer import Trainer
