@@ -27,20 +27,29 @@ class CheckpointManager:
                 max_to_keep=keep, create=True, enable_async_checkpointing=True),
         )
 
-    def save(self, step: int, state: Any, extra: Optional[dict] = None) -> None:
+    def save(self, step: int, state: Any, cursor: Optional[dict] = None) -> None:
+        """Save state plus the data-iterator cursor: `cursor` is
+        {"epoch": E, "batch": B} meaning "resume at batch index B of epoch E
+        under the deterministic per-epoch shuffle" - this is what makes
+        mid-epoch resume exact (SURVEY.md 5's data-iterator commitment)."""
         import orbax.checkpoint as ocp
+        cursor = cursor or {}
         # stable payload schema so restore templates always match
-        payload = {"state": state, "epoch": int((extra or {}).get("epoch", 0))}
+        payload = {"state": state,
+                   "cursor": {"epoch": int(cursor.get("epoch", 0)),
+                              "batch": int(cursor.get("batch", 0))}}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
 
-    def restore_latest(self, template: Any) -> Optional[Any]:
+    def restore_latest(self, template: Any) -> Optional[tuple]:
+        """Returns (state, cursor) or None if no checkpoint exists."""
         import orbax.checkpoint as ocp
         step = self._mgr.latest_step()
         if step is None:
             return None
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore({"state": template, "epoch": 0}))
-        return restored["state"]
+            step, args=ocp.args.StandardRestore(
+                {"state": template, "cursor": {"epoch": 0, "batch": 0}}))
+        return restored["state"], restored["cursor"]
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -47,6 +47,10 @@ class ThreadedLoader:
         self.num_shards = num_shards
         self.collate = collate or default_collate
         self.epoch = 0
+        # exact mid-epoch resume: drop the first N batches of the epoch's
+        # deterministic shuffle without decoding them (set by the Trainer
+        # from the checkpointed cursor)
+        self.start_batch = 0
 
     def __len__(self) -> int:
         n = len(self.base_indices) // self.num_shards
@@ -65,6 +69,7 @@ class ThreadedLoader:
             indices = indices[: len(indices) // self.batch_size * self.batch_size]
         batches = [indices[i:i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
+        batches = batches[self.start_batch:]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         job_q: "queue.Queue" = queue.Queue()

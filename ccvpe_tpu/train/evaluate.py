@@ -43,7 +43,8 @@ def _load_params(model_cfg, checkpoint: str):
     restored = mgr.restore_latest(jax.tree.map(np.asarray, state))
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {checkpoint}")
-    return model, restored.params, restored.batch_stats
+    restored_state, _ = restored
+    return model, restored_state.params, restored_state.batch_stats
 
 
 def slice_fov(grd: np.ndarray, fov: int) -> np.ndarray:

@@ -68,11 +68,14 @@ class Trainer:
         self.ckpt = CheckpointManager(
             f"{workdir}/{train_cfg.checkpoint_dir}", keep=train_cfg.keep_checkpoints)
         self.restored = False
+        self.cursor = {"epoch": 0, "batch": 0}
         restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, self.state))
         if restored is not None:
-            self.state = jax.device_put(restored, replicated(self.mesh))
+            state, self.cursor = restored
+            self.state = jax.device_put(state, replicated(self.mesh))
             self.restored = True
-            print(f"resumed from step {int(self.state.step)}")
+            print(f"resumed from step {int(self.state.step)} "
+                  f"(epoch {self.cursor['epoch']}, batch {self.cursor['batch']})")
         elif train_cfg.warm_start or train_cfg.pretrained_backbone:
             self._apply_initial_weights()
 
@@ -108,23 +111,35 @@ class Trainer:
         self.state = jax.device_put(self.state, replicated(self.mesh))
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
-                    epoch: int, rng: jax.Array) -> None:
+                    epoch: int, rng: jax.Array, start_batch: int = 0) -> None:
+        """Run one epoch, optionally resuming at `start_batch` within the
+        epoch's deterministic shuffle (exact mid-epoch resume). Checkpoints
+        record the NEXT position to run as a (epoch, batch) cursor."""
         t_last = time.time()
         running = []
-        for i, batch in enumerate(device_prefetch(loader, self.mesh)):
+        if start_batch:
+            if hasattr(loader, "start_batch"):
+                loader.start_batch = start_batch  # skip without decoding
+            else:
+                it = iter(loader)
+                for _ in range(start_batch):
+                    next(it)
+                loader = it
+        for j, batch in enumerate(device_prefetch(loader, self.mesh)):
+            i = start_batch + j  # batch index within the epoch's shuffle
             self.state, m = self.train_step(self.state, batch, rng)
             running.append(m)
             every = self.train_cfg.checkpoint_every_steps
             if every and int(self.state.step) % every == 0:
                 self.ckpt.save(int(self.state.step),
                                jax.tree.map(np.asarray, self.state),
-                               extra={"epoch": epoch})
+                               cursor={"epoch": epoch, "batch": i + 1})
             if (self.train_cfg.fake_fail_at_step is not None
                     and int(self.state.step) == self.train_cfg.fake_fail_at_step):
                 self.ckpt.wait()
                 raise RuntimeError(
                     f"fake failure injected at step {int(self.state.step)}")
-            if (i + 1) % self.train_cfg.log_every == 0:
+            if (j + 1) % self.train_cfg.log_every == 0:
                 vals = {k: float(np.mean([float(r[k]) for r in running]))
                         for k in running[0]}
                 n = self.train_cfg.log_every * self.train_cfg.batch_size
@@ -136,7 +151,7 @@ class Trainer:
                 running, t_last = [], time.time()
         self.ckpt.save(int(self.state.step),
                        jax.tree.map(np.asarray, self.state),
-                       extra={"epoch": epoch})
+                       cursor={"epoch": epoch + 1, "batch": 0})
 
     def validate(self, loader: Iterable[Dict[str, np.ndarray]],
                  meters_per_pixel: Callable[[str], float],
@@ -167,11 +182,12 @@ class Trainer:
             epochs: Optional[int] = None) -> None:
         rng = jax.random.PRNGKey(self.train_cfg.seed + 1)
         total_epochs = epochs or self.train_cfg.epochs
-        start_epoch = 0
-        if self.restored:
-            spe = max(1, len(train_loader_fn(0)))
-            start_epoch = min(int(self.state.step) // spe, total_epochs)
+        # exact resume: the checkpointed cursor names the next (epoch, batch)
+        # to run under each epoch's deterministic shuffle
+        start_epoch = min(self.cursor["epoch"], total_epochs) if self.restored else 0
+        start_batch = self.cursor["batch"] if self.restored else 0
         for epoch in range(start_epoch, total_epochs):
-            self.train_epoch(train_loader_fn(epoch), epoch, rng)
+            self.train_epoch(train_loader_fn(epoch), epoch, rng,
+                             start_batch=start_batch if epoch == start_epoch else 0)
             self.validate(val_loader_fn(epoch), meters_per_pixel, epoch)
         self.ckpt.wait()

@@ -27,8 +27,8 @@ def test_roundtrip(tmp_path):
     mgr.wait()
 
     template = make_state(0.0)
-    restored = mgr.restore_latest(template)
-    assert restored is not None
+    restored, cursor = mgr.restore_latest(template)
+    assert cursor == {"epoch": 0, "batch": 0}
     assert int(restored.step) == 7
     np.testing.assert_array_equal(restored.params["dense"]["kernel"],
                                   state.params["dense"]["kernel"])
@@ -45,10 +45,18 @@ def test_retention_keeps_latest(tmp_path):
         mgr.save(step, make_state(float(step)))
     mgr.wait()
     assert mgr.latest_step() == 3
-    restored = mgr.restore_latest(make_state(0.0))
+    restored, _ = mgr.restore_latest(make_state(0.0))
     assert float(restored.params["dense"]["kernel"][0, 0]) == 3.0
 
 
 def test_restore_empty_returns_none(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "empty"))
     assert mgr.restore_latest(make_state(0.0)) is None
+
+
+def test_cursor_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(5, make_state(1.0), cursor={"epoch": 2, "batch": 13})
+    mgr.wait()
+    _, cursor = mgr.restore_latest(make_state(0.0))
+    assert cursor == {"epoch": 2, "batch": 13}
