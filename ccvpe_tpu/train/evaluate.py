@@ -54,6 +54,61 @@ def slice_fov(grd: np.ndarray, fov: int) -> np.ndarray:
     return grd[:, :, :width, :]
 
 
+def eval_over_loader(
+    eval_step,
+    params,
+    batch_stats,
+    loader,
+    model_cfg,
+    meters_per_pixel,
+    fov: Optional[int] = None,
+    with_prob_at_gt: bool = False,
+    with_recalls: bool = True,
+) -> Dict[str, float]:
+    """Shared metric loop over one eval loader: pose decode, meter
+    conversion, orientation error, longitudinal/lateral decomposition and
+    recalls @1/3/5 m & deg (train_VIGOR.py:290-326, train_KITTI.py:320-360).
+
+    `meters_per_pixel` is a float, or a callable city->float applied to the
+    batch's "city" field (VIGOR per-city scales, train_VIGOR.py:193-200).
+    """
+    hs, ws = model_cfg.sat_size
+    dist, ori_err, longi, lat, prob = [], [], [], [], []
+    for raw in loader:
+        grd = slice_fov(raw["grd"], fov) if fov and fov != 360 else raw["grd"]
+        heatmap, ori = eval_step(params, batch_stats, grd, raw["sat"])
+        rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
+        gt_rows, gt_cols = pose.gt_location(hs, ws, raw["row_offset"],
+                                            raw["col_offset"])
+        px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
+        if callable(meters_per_pixel):
+            mpp = (np.array([meters_per_pixel(c) for c in raw["city"]])
+                   if "city" in raw else meters_per_pixel(None))
+        else:
+            mpp = meters_per_pixel
+        dist.extend(np.atleast_1d(px * mpp).tolist())
+        ori_err.extend(
+            pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
+        lo, la = pose.longitudinal_lateral(
+            rows, cols, gt_rows, gt_cols, raw["angle_deg"], mpp)
+        longi.extend(lo.tolist())
+        lat.extend(la.tolist())
+        if with_prob_at_gt:
+            hm = np.asarray(heatmap)
+            prob.extend(
+                hm[np.arange(len(gt_rows)), gt_rows, gt_cols, 0].tolist())
+    summary = pose.summarize(np.array(dist), np.array(ori_err),
+                             np.array(prob) if prob else None)
+    if with_recalls:
+        summary.update({f"long_{k}": v for k, v in
+                        pose.recalls(np.array(longi)).items()})
+        summary.update({f"lat_{k}": v for k, v in
+                        pose.recalls(np.array(lat)).items()})
+        summary.update({k.replace("recall@", "ori_recall@") + "deg": v
+                        for k, v in pose.recalls(np.array(ori_err)).items()})
+    return summary
+
+
 def evaluate_vigor(args, ori_noise: float, circular: bool) -> Dict[str, float]:
     from ccvpe_tpu.data.loader import ThreadedLoader
     from ccvpe_tpu.data.vigor import VIGORDataset
@@ -76,23 +131,10 @@ def evaluate_vigor(args, ori_noise: float, circular: bool) -> Dict[str, float]:
 
     loader = ThreadedLoader(dataset, args.batch_size, shuffle=False,
                             num_workers=args.num_workers, drop_last=False)
-    hs, ws = model_cfg.sat_size
-    distances, ori_errors, prob_at_gt = [], [], []
-    for raw in loader:
-        grd = slice_fov(raw["grd"], args.FoV)
-        heatmap, ori = eval_step(params, batch_stats, grd, raw["sat"])
-        rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
-        gt_rows, gt_cols = pose.gt_location(hs, ws, raw["row_offset"],
-                                            raw["col_offset"])
-        px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
-        mpp = np.array([dataset.meters_per_pixel(c) for c in raw["city"]])
-        distances.extend((px * mpp).tolist())
-        ori_errors.extend(pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
-        hm = np.asarray(heatmap)
-        prob_at_gt.extend(hm[np.arange(len(gt_rows)), gt_rows, gt_cols, 0].tolist())
-
-    summary = pose.summarize(np.array(distances), np.array(ori_errors),
-                             np.array(prob_at_gt))
+    summary = eval_over_loader(eval_step, params, batch_stats, loader,
+                               model_cfg, dataset.meters_per_pixel,
+                               fov=args.FoV, with_prob_at_gt=True,
+                               with_recalls=False)
     for k, v in summary.items():
         print(f"{k}: {v:.4f}")
     return summary
@@ -107,7 +149,6 @@ def evaluate_kitti(args) -> Dict[str, Dict[str, float]]:
     model_cfg = cfg_lib.kitti()
     model, params, batch_stats = _load_params(model_cfg, args.checkpoint)
     eval_step = make_eval_step(model, model_cfg)
-    hs, ws = model_cfg.sat_size
 
     results = {}
     for name, file in (("test1", args.test1_file), ("test2", args.test2_file)):
@@ -117,29 +158,10 @@ def evaluate_kitti(args) -> Dict[str, Dict[str, float]]:
                                rotation_range=args.rotation_range)
         loader = ThreadedLoader(dataset, args.batch_size, shuffle=False,
                                 num_workers=args.num_workers, drop_last=False)
-        mpp = dataset.meters_per_pixel()
-        dist, longi, lat, ori_err = [], [], [], []
-        for raw in loader:
-            heatmap, ori = eval_step(params, batch_stats, raw["grd"], raw["sat"])
-            rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
-            gt_rows, gt_cols = pose.gt_location(hs, ws, raw["row_offset"],
-                                                raw["col_offset"])
-            px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
-            dist.extend((px * mpp).tolist())
-            # decomposition is against the GT orientation angle (degrees from
-            # North), not the raw oxts heading (train_KITTI.py:320-327)
-            lo, la = pose.longitudinal_lateral(
-                rows, cols, gt_rows, gt_cols, raw["angle_deg"], mpp)
-            longi.extend(lo.tolist())
-            lat.extend(la.tolist())
-            ori_err.extend(pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
-        summary = pose.summarize(np.array(dist), np.array(ori_err))
-        summary.update({f"long_{k}": v for k, v in
-                        pose.recalls(np.array(longi)).items()})
-        summary.update({f"lat_{k}": v for k, v in
-                        pose.recalls(np.array(lat)).items()})
-        summary.update({k.replace("recall@", "ori_recall@") + "deg": v for k, v in
-                        pose.recalls(np.array(ori_err)).items()})
+        # decomposition is against the GT orientation angle (degrees from
+        # North), not the raw oxts heading (train_KITTI.py:320-327)
+        summary = eval_over_loader(eval_step, params, batch_stats, loader,
+                                   model_cfg, dataset.meters_per_pixel())
         results[name] = summary
         print(name, summary)
     return results

@@ -19,7 +19,6 @@ from ccvpe_tpu.core.checkpoint import CheckpointManager
 from ccvpe_tpu.core.config import ModelConfig, TrainConfig
 from ccvpe_tpu.core.mesh import make_mesh, replicated, shard_batch
 from ccvpe_tpu.core.metrics import MetricWriter
-from ccvpe_tpu.ops import pose
 from ccvpe_tpu.train.step import (
     Batch,
     create_train_state,
@@ -153,30 +152,23 @@ class Trainer:
                        jax.tree.map(np.asarray, self.state),
                        cursor={"epoch": epoch + 1, "batch": 0})
 
-    def validate(self, loader: Iterable[Dict[str, np.ndarray]],
-                 meters_per_pixel: Callable[[str], float],
-                 epoch: int) -> Dict[str, float]:
-        distances, ori_errors = [], []
-        hs, ws = self.model_cfg.sat_size
-        for raw in loader:
-            heatmap, ori = self.eval_step(
-                self.state.params, self.state.batch_stats, raw["grd"], raw["sat"])
-            rows, cols, angle_pred = pose.decode_pose(heatmap, ori)
-            rows, cols = np.asarray(rows), np.asarray(cols)
-            angle_pred = np.asarray(angle_pred)
-            gt_rows, gt_cols = pose.gt_location(
-                hs, ws, raw["row_offset"], raw["col_offset"])
-            px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
-            mpp = np.array([meters_per_pixel(c) for c in raw["city"]]) \
-                if "city" in raw else meters_per_pixel(None)
-            distances.extend(np.atleast_1d(px * mpp).tolist())
-            ori_errors.extend(
-                pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
-        summary = pose.summarize(np.array(distances), np.array(ori_errors))
-        self.metrics.write(int(self.state.step),
-                           {f"val/{k}": v for k, v in summary.items()})
-        print(f"epoch {epoch} validation: {summary}")
-        return summary
+    def validate(self, loaders, meters_per_pixel, epoch: int):
+        """Per-epoch evaluation. `loaders` is one loader, or a dict of named
+        eval sets evaluated every epoch (the KITTI protocol runs test1 AND
+        test2 each epoch, reference train_KITTI.py:168-279); recalls
+        @1/3/5 m & deg are always included in the metric rows."""
+        from ccvpe_tpu.train.evaluate import eval_over_loader
+        named = loaders if isinstance(loaders, dict) else {"val": loaders}
+        results = {}
+        for name, loader in named.items():
+            summary = eval_over_loader(
+                self.eval_step, self.state.params, self.state.batch_stats,
+                loader, self.model_cfg, meters_per_pixel)
+            self.metrics.write(int(self.state.step),
+                               {f"{name}/{k}": v for k, v in summary.items()})
+            print(f"epoch {epoch} {name}: {summary}")
+            results[name] = summary
+        return results if isinstance(loaders, dict) else results["val"]
 
     def fit(self, train_loader_fn, val_loader_fn, meters_per_pixel,
             epochs: Optional[int] = None) -> None:

@@ -59,18 +59,26 @@ def main():
                                  shift_range_lon=args.shift_range_lon,
                                  rotation_range=args.rotation_range,
                                  image_dtype=args.image_dtype)
-        test1 = KittiDataset(args.root, args.test1_file, train=False,
-                             shift_range_lat=args.shift_range_lat,
-                             shift_range_lon=args.shift_range_lon,
-                             rotation_range=args.rotation_range)
+        # the reference evaluates test1 (same traversals) AND test2
+        # (held-out) every epoch (train_KITTI.py:168-279)
+        eval_sets = {}
+        for name, file in (("test1", args.test1_file),
+                           ("test2", args.test2_file)):
+            if file:
+                eval_sets[name] = KittiDataset(
+                    args.root, file, train=False,
+                    shift_range_lat=args.shift_range_lat,
+                    shift_range_lon=args.shift_range_lon,
+                    rotation_range=args.rotation_range)
         trainer = Trainer(model_cfg, train_cfg, workdir=args.workdir)
         trainer.fit(
             train_loader_fn=lambda epoch: ThreadedLoader(
                 train_set, args.batch_size, shuffle=True, seed=epoch,
                 num_workers=args.num_workers),
-            val_loader_fn=lambda epoch: ThreadedLoader(
-                test1, args.batch_size, shuffle=False,
-                num_workers=args.num_workers),
+            val_loader_fn=lambda epoch: {
+                name: ThreadedLoader(ds, args.batch_size, shuffle=False,
+                                     num_workers=args.num_workers)
+                for name, ds in eval_sets.items()},
             meters_per_pixel=train_set.meters_per_pixel,
         )
     else:
