@@ -72,6 +72,10 @@ class OxfordDataset:
         self.split = split
         self.grd_size = grd_size
         self.full_map = PIL.Image.open(sat_path)
+        # Decode eagerly: ThreadedLoader workers crop this shared image
+        # concurrently, and PIL's lazy first-access load() is not thread-safe
+        # (concurrent crop() -> load_end() assertion).
+        self.full_map.load()
 
         def read_list(name):
             with open(os.path.join(grd_image_root, name)) as f:

@@ -6,6 +6,14 @@ Frames are independent given the deterministic tile rule
 (docs/SCALING.md). This module is the driver-independent core: it runs the
 per-frame eval over one traversal's index list and returns the summary
 (mean/median meters + degrees, long/lat decomposition recalls, stream FPS).
+
+Latency design: the forward pass and the pose decode are fused into ONE
+jitted dispatch whose only device->host fetch is 3 scalars per frame
+(rows, cols, angle), and the loop keeps TWO batches in flight - batch N+1
+is dispatched before batch N's scalars are fetched, so the dispatch+fetch
+round trip (10s of ms on tunneled platforms) overlaps the next batch's
+device compute instead of serializing with it. Measured effect:
+tools/bench_stream.py `pipelined_fps` vs `device_fps` at batch <= 4.
 """
 
 from __future__ import annotations
@@ -13,6 +21,7 @@ from __future__ import annotations
 import time
 from typing import Dict, Optional, Sequence
 
+import jax
 import numpy as np
 
 from ccvpe_tpu.ops import pose
@@ -41,20 +50,29 @@ def stream_eval(
     from ccvpe_tpu.data.loader import ThreadedLoader
     from ccvpe_tpu.train.step import make_eval_step
 
-    if eval_step is None:
-        eval_step = make_eval_step(model, model_cfg)
+    base_step = eval_step if eval_step is not None else make_eval_step(
+        model, model_cfg)
     hs, ws = model_cfg.sat_size
+
+    # One dispatch per batch, 3*B floats fetched per batch: the heatmap/ori
+    # maps never leave the device (a [B,512,512,1] fetch would dominate the
+    # stream on any host link; the reference pulls full maps every frame,
+    # train_OxfordRobotCar.py:231-247).
+    @jax.jit
+    def decode_step(p, bs, grd, sat):
+        heatmap, ori = base_step(p, bs, grd, sat)
+        return pose.decode_pose(heatmap, ori)
 
     loader = ThreadedLoader(dataset, batch_size, shuffle=False,
                             num_workers=num_workers, indices=list(indices),
                             drop_last=False, shard_id=shard_id,
                             num_shards=num_shards)
     dist, ori_err, longi, lat = [], [], [], []
-    t0 = time.perf_counter()
     n = 0
-    for raw in loader:
-        heatmap, ori = eval_step(params, batch_stats, raw["grd"], raw["sat"])
-        rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
+
+    def consume(decoded, raw):
+        nonlocal n
+        rows, cols, angle_pred = map(np.asarray, decoded)
         gt_rows, gt_cols = pose.gt_location(
             hs, ws, raw["row_offset"], raw["col_offset"])
         px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
@@ -67,6 +85,16 @@ def stream_eval(
         lat.extend(la.tolist())
         ori_err.extend(pose.angle_error(angle_pred, raw["angle_deg"]).tolist())
         n += len(rows)
+
+    t0 = time.perf_counter()
+    pending = None  # (decoded device scalars, raw batch) one batch behind
+    for raw in loader:
+        decoded = decode_step(params, batch_stats, raw["grd"], raw["sat"])
+        if pending is not None:
+            consume(*pending)
+        pending = (decoded, raw)
+    if pending is not None:
+        consume(*pending)
     elapsed = time.perf_counter() - t0
 
     summary = pose.summarize(np.array(dist), np.array(ori_err))

@@ -6,18 +6,20 @@ train_OxfordRobotCar.py:195-397). This measures our equivalent: the
 forward + on-device pose decode used by stream_eval / InferenceEngine,
 on synthetic Oxford-geometry inputs (154x231 ground, 512^2 aerial).
 
-Two measurements per batch size (both value-fetch synced per batch - every
-batch's decoded poses are pulled to the host before the next dispatch,
-exactly like the real streaming loop; block_until_ready is never used, it
+Three measurements per batch size (all value-fetch synced - decoded poses
+are pulled to the host for every batch; block_until_ready is never used, it
 returns early on this platform, docs/PERFORMANCE.md):
 
-  * device FPS   - inputs staged on device once; measures model inference
-                   rate (the framework metric; on a real TPU host the input
-                   DMA overlaps compute and this is the end-to-end rate).
-  * ingest FPS   - fresh uint8 numpy arrays shipped every batch; on THIS
-                   container the H2D path crosses the axon tunnel at
-                   ~25 MB/s (also probed and reported), so this measures
-                   the tunnel, not the framework - recorded for honesty.
+  * device FPS    - inputs staged on device once, fetch before next
+                    dispatch; every batch pays the full round trip (the
+                    naive loop structure).
+  * pipelined FPS - two batches in flight (the real stream_eval structure,
+                    ccvpe_tpu/train/stream.py): round trip overlaps device
+                    compute. The framework's end-to-end stream rate.
+  * ingest FPS    - fresh uint8 numpy arrays shipped every batch; on THIS
+                    container the H2D path crosses the axon tunnel at
+                    ~25 MB/s (also probed and reported), so this measures
+                    the tunnel, not the framework - recorded for honesty.
 
 Usage: python tools/bench_stream.py [--batches 1,8,32] [--dtype bfloat16]
 Appends one JSON line per config to --out.
@@ -72,13 +74,30 @@ def run_one(batch, dtype, warmup=3, iters=20):
         np.asarray(rows)
     compile_s = time.perf_counter() - t0
 
-    # device FPS: inputs staged once
+    # device FPS: inputs staged once, fully synchronous (fetch every batch
+    # before the next dispatch) - each batch pays the full dispatch+fetch
+    # round trip, like a naive streaming loop
     grd_dev, sat_dev = jnp.asarray(grd_np), jnp.asarray(sat_np)
     t0 = time.perf_counter()
     for _ in range(iters):
         rows, cols, ang = fn(variables, grd_dev, sat_dev)
         np.asarray(rows), np.asarray(cols), np.asarray(ang)
     dt_dev = (time.perf_counter() - t0) / iters
+
+    # pipelined FPS: two batches in flight (dispatch N+1, then fetch N's
+    # scalars) - the round trip overlaps device compute. This is the real
+    # stream_eval loop structure (ccvpe_tpu/train/stream.py).
+    t0 = time.perf_counter()
+    prev = None
+    for _ in range(iters):
+        out = fn(variables, grd_dev, sat_dev)
+        if prev is not None:
+            for x in prev:
+                np.asarray(x)
+        prev = out
+    for x in prev:
+        np.asarray(x)
+    dt_pipe = (time.perf_counter() - t0) / iters
 
     # ingest FPS: ship fresh uint8 arrays each batch (tunnel-limited here)
     t0 = time.perf_counter()
@@ -96,6 +115,8 @@ def run_one(batch, dtype, warmup=3, iters=20):
     return {"batch": batch, "dtype": dtype,
             "device_ms_per_batch": round(dt_dev * 1e3, 3),
             "device_fps": round(batch / dt_dev, 2),
+            "pipelined_ms_per_batch": round(dt_pipe * 1e3, 3),
+            "pipelined_fps": round(batch / dt_pipe, 2),
             "ingest_ms_per_batch": round(dt_h2d * 1e3, 3),
             "ingest_fps": round(batch / dt_h2d, 2),
             "h2d_mb_per_batch": round(mb_per_batch, 1),
@@ -105,7 +126,7 @@ def run_one(batch, dtype, warmup=3, iters=20):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batches", default="1,8,32")
+    p.add_argument("--batches", default="1,2,4,8,32")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--out", default="/tmp/bench_stream.jsonl")
