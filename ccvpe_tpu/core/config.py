@@ -89,6 +89,14 @@ class ModelConfig:
     # XLA SPMD partitions the convs and inserts halo exchanges. None = pure DP.
     spatial_axis: Optional[str] = None
 
+    # Optional mesh axis name for orientation-bin sharding of the rolled
+    # correlation (the context-parallel analog, SURVEY.md 2.4): the K-bin
+    # score volumes and the [K, D] roll matrices are sharded over this axis,
+    # XLA SPMD partitions the two matching einsums per bin block, and the
+    # max-over-bins reduce inserts the cross-device combine. Requires an
+    # ambient mesh (jax.set_mesh) carrying the axis. None = unsharded bins.
+    ori_axis: Optional[str] = None
+
     # --- ori-prior restricted search (models.py:489, train_VIGOR.py:49) ---
     # None = full K-bin search. Otherwise degrees of orientation noise; the
     # matching loop for localization is restricted to bins

@@ -84,7 +84,7 @@ class CVM(nn.Module):
             return rolled_corr_dispatch(
                 x, grd_descs[scale_idx], shift=cfg.roll_shifts[scale_idx],
                 num_bins=cfg.num_bins, center=cfg.center_window, bins=bins,
-                impl=cfg.corr_impl,
+                impl=cfg.corr_impl, ori_axis=cfg.ori_axis,
             )
 
         # --- bottleneck matching ---

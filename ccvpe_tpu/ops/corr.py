@@ -69,6 +69,7 @@ def rolled_corr(
     center: bool = False,
     bins: Optional[Sequence[int]] = None,
     eps: float = 0.0,
+    ori_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Cosine-similarity matching scores for all orientation bins.
 
@@ -82,6 +83,13 @@ def rolled_corr(
       bins: explicit bin offsets (e.g. range(-n, n+1) for the orientation
         prior, models.py:489); default range(num_bins).
       eps: optional denominator epsilon (reference uses none).
+      ori_axis: optional mesh axis name to shard the bin dimension over
+        (orientation-axis parallelism, the CP analog of SURVEY.md 2.4).
+        The [K, D] roll matrices and the [B, h, w, K] score volume are
+        constrained to that axis; XLA SPMD then computes each device's bin
+        block locally (sat stays replicated along the axis, no collective
+        inside - downstream reduces over K insert the combine). Requires an
+        ambient mesh (jax.set_mesh) carrying the axis.
 
     Returns: [B, h, w, K] scores, K = len(bins) if given else num_bins.
     """
@@ -91,6 +99,11 @@ def rolled_corr(
     grd = grd.astype(jnp.float32)
     total_dim = sat.shape[-1]
     g_mat, m_mat = build_roll_matrices(grd, total_dim, shift, bins, center)
+    if ori_axis is not None:
+        from jax.sharding import PartitionSpec as P
+        g_mat = jax.lax.with_sharding_constraint(
+            g_mat, P(None, ori_axis, None))
+        m_mat = jax.lax.with_sharding_constraint(m_mat, P(ori_axis, None))
     # accumulate in f32 on the MXU
     num = jnp.einsum("bhwd,bkd->bhwk", sat, g_mat,
                      preferred_element_type=jnp.float32)
@@ -98,7 +111,12 @@ def rolled_corr(
                         preferred_element_type=jnp.float32)
     g_norm = jnp.linalg.norm(grd, axis=-1)  # [B]
     den = jnp.sqrt(den_sq) * g_norm[:, None, None, None]
-    return num / (den + eps)
+    out = num / (den + eps)
+    if ori_axis is not None:
+        from jax.sharding import PartitionSpec as P
+        out = jax.lax.with_sharding_constraint(
+            out, P(None, None, None, ori_axis))
+    return out
 
 
 def rolled_corr_dispatch(
@@ -109,6 +127,7 @@ def rolled_corr_dispatch(
     center: bool = False,
     bins: Optional[Sequence[int]] = None,
     impl: str = "auto",
+    ori_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Select the fused Pallas kernel on TPU backends, the XLA matmul
     formulation elsewhere (CPU tests, interpret-unfriendly contexts).
@@ -116,7 +135,14 @@ def rolled_corr_dispatch(
     auto: Pallas only when the channel dim fills the 128-wide VMEM lane tile
     (D >= 128); for the fine decoder scales (D = 40..80) the padding waste
     makes XLA's fused einsum faster (measured on v5e).
+
+    ori_axis (orientation-bin sharding) forces the XLA path: the sharding
+    constraints let GSPMD partition the einsums over bins, whereas the Pallas
+    kernel is a single-device program with no partition rule registered.
     """
+    if ori_axis is not None:
+        return rolled_corr(sat, grd, shift, num_bins, center, bins,
+                           ori_axis=ori_axis)
     if impl == "auto":
         if jax.default_backend() == "cpu" or sat.shape[-1] < 128:
             impl = "xla"
@@ -136,18 +162,27 @@ def rolled_corr_bin_sharded(
     mesh,
     axis: str = "model",
     center: bool = False,
+    batch_axis: Optional[str] = "data",
 ) -> jnp.ndarray:
-    """Orientation-axis sharded correlation (the context-parallel analog,
-    SURVEY.md 2.4): each device along `axis` owns a contiguous block of
-    orientation bins, i.e. a row-block of the [K, D] roll matrices. The sat
-    map and ground descriptor stay replicated along `axis`; bins are
-    independent, so no collective is needed inside — the output [B, h, w, K]
-    simply comes back sharded on K along `axis`.
+    """Orientation-axis sharded correlation via explicit shard_map (the
+    context-parallel analog, SURVEY.md 2.4): each device along `axis` owns a
+    contiguous block of orientation bins, i.e. a row-block of the [K, D] roll
+    matrices. The sat map and ground descriptor stay replicated along `axis`;
+    bins are independent, so no collective is needed inside — the output
+    [B, h, w, K] simply comes back sharded on K along `axis`.
+
+    This is the explicit-collective formulation of what ModelConfig.ori_axis
+    does inside the model via sharding constraints (rolled_corr(ori_axis=...),
+    which GSPMD partitions the same way); kept as the standalone scale-out
+    path and as a cross-check of the compiler-partitioned one.
 
     This matters when K*h*w score volumes dominate memory (many bins / fine
     orientation resolution): each device materializes only K/axis_size bins.
     For the reference's K<=20 the folded [K, D] matmul (rolled_corr) is
-    already optimal on one chip; this is the scale-out path.
+    already optimal on one chip.
+
+    batch_axis: mesh axis the batch dim is sharded over, or None if the
+    batch is replicated.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -171,8 +206,9 @@ def rolled_corr_bin_sharded(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("data"), P("data", axis, None), P(axis, None), P("data")),
-        out_specs=P("data", None, None, axis),
+        in_specs=(P(batch_axis), P(batch_axis, axis, None), P(axis, None),
+                  P(batch_axis)),
+        out_specs=P(batch_axis, None, None, axis),
     )
     return fn(sat, g_mat, m_mat, g_norm)
 

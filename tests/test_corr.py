@@ -75,6 +75,10 @@ def test_bin_sharded_matches_unsharded(rng):
     with pytest.raises(ValueError):
         rolled_corr_bin_sharded(sat, grd, shift, 18, mesh)
 
+    # replicated-batch variant (batch_axis=None)
+    repl = rolled_corr_bin_sharded(sat, grd, shift, k, mesh, batch_axis=None)
+    np.testing.assert_allclose(np.asarray(repl), np.asarray(ref), atol=2e-5)
+
 
 def test_scores_are_cosines(rng):
     sat = jnp.asarray(rng.normal(size=(1, 4, 4, 256)).astype(np.float32))
