@@ -7,7 +7,9 @@ GIL for JPEG decode/resize), assembles NHWC numpy batches, and keeps a
 bounded prefetch queue so the accelerator never waits on the host.
 
 Per-host sharding for multi-host data parallelism: pass (shard_id,
-num_shards) and each host reads a disjoint stride of the index stream.
+num_shards) and each host reads a disjoint block of every global batch of
+the shared per-epoch shuffle, so the assembled global batch (order included)
+is identical to the single-process one.
 """
 
 from __future__ import annotations
@@ -60,7 +62,23 @@ class ThreadedLoader:
         idx = list(self.base_indices)
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
-        return idx[self.shard_id::self.num_shards]
+        if self.num_shards == 1:
+            return idx
+        # Shard each GLOBAL batch (num_shards * batch_size consecutive
+        # indices of the shared shuffle) as contiguous per-shard blocks, so
+        # the global device array assembled from the hosts' local batches
+        # (mesh.shard_batch) has exactly the single-process row order -
+        # multi-host step t is bit-identical to single-process step t,
+        # including order-dependent per-row randomness (drop-connect noise).
+        gb = self.batch_size * self.num_shards
+        out = []
+        for t in range(len(idx) // gb):
+            base = t * gb + self.shard_id * self.batch_size
+            out.extend(idx[base: base + self.batch_size])
+        # distribute the ragged tail round-robin (only reachable with
+        # drop_last=False, i.e. per-host independent eval)
+        out.extend(idx[len(idx) // gb * gb:][self.shard_id::self.num_shards])
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices()

@@ -97,6 +97,11 @@ def eval_over_loader(
             hm = np.asarray(heatmap)
             prob.extend(
                 hm[np.arange(len(gt_rows)), gt_rows, gt_cols, 0].tolist())
+    # multi-host: each process evaluated its loader shard; pool the raw
+    # per-sample arrays so medians/recalls are global, not per-host
+    from ccvpe_tpu.core.mesh import all_hosts_concat
+    dist, ori_err, longi, lat, prob = (
+        all_hosts_concat(a).tolist() for a in (dist, ori_err, longi, lat, prob))
     summary = pose.summarize(np.array(dist), np.array(ori_err),
                              np.array(prob) if prob else None)
     if with_recalls:

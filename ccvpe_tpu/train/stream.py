@@ -97,6 +97,13 @@ def stream_eval(
         consume(*pending)
     elapsed = time.perf_counter() - t0
 
+    if num_shards > 1:
+        # multi-host stream: pool the raw per-frame errors so medians and
+        # recalls are over the whole traversal, not one host's stride
+        from ccvpe_tpu.core.mesh import all_hosts_concat
+        dist, ori_err, longi, lat = (
+            all_hosts_concat(a).tolist() for a in (dist, ori_err, longi, lat))
+        n = len(dist)
     summary = pose.summarize(np.array(dist), np.array(ori_err))
     summary.update({f"long_{k}": v for k, v in
                     pose.recalls(np.array(longi)).items()})

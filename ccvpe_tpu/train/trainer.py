@@ -17,7 +17,7 @@ import numpy as np
 
 from ccvpe_tpu.core.checkpoint import CheckpointManager
 from ccvpe_tpu.core.config import ModelConfig, TrainConfig
-from ccvpe_tpu.core.mesh import make_mesh, replicated, shard_batch
+from ccvpe_tpu.core.mesh import make_mesh, replicate, shard_batch
 from ccvpe_tpu.core.metrics import MetricWriter
 from ccvpe_tpu.train.step import (
     Batch,
@@ -59,10 +59,14 @@ class Trainer:
         self.mesh = make_mesh()
         self.model, self.state, self.tx = create_train_state(
             model_cfg, train_cfg, jax.random.PRNGKey(train_cfg.seed))
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = replicate(self.mesh, self.state)
         self.train_step = make_train_step(self.model, self.tx, model_cfg,
                                           train_cfg)
         self.eval_step = make_eval_step(self.model, model_cfg)
+        # multi-host: every process runs the same step/checkpoint calls
+        # (orbax coordinates saves internally); files + prints come from
+        # process 0 only
+        self.is_main = jax.process_index() == 0
         self.metrics = MetricWriter(workdir, model_cfg.name)
         self.ckpt = CheckpointManager(
             f"{workdir}/{train_cfg.checkpoint_dir}", keep=train_cfg.keep_checkpoints)
@@ -71,7 +75,7 @@ class Trainer:
         restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, self.state))
         if restored is not None:
             state, self.cursor = restored
-            self.state = jax.device_put(state, replicated(self.mesh))
+            self.state = replicate(self.mesh, state)
             self.restored = True
             print(f"resumed from step {int(self.state.step)} "
                   f"(epoch {self.cursor['epoch']}, batch {self.cursor['batch']})")
@@ -107,7 +111,7 @@ class Trainer:
             params=new_params,
             batch_stats=variables.get("batch_stats", self.state.batch_stats),
             opt_state=self.tx.init(new_params))
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = replicate(self.mesh, self.state)
 
     def train_epoch(self, loader: Iterable[Dict[str, np.ndarray]],
                     epoch: int, rng: jax.Array, start_batch: int = 0) -> None:
@@ -144,9 +148,10 @@ class Trainer:
                 n = self.train_cfg.log_every * self.train_cfg.batch_size
                 dt = time.time() - t_last
                 vals["pairs_per_s"] = n / dt
-                self.metrics.write(int(self.state.step), vals)
-                print(f"[{epoch}, {i + 1}] loss: {vals['loss']:.3f} "
-                      f"({vals['pairs_per_s']:.2f} pairs/s)")
+                if self.is_main:
+                    self.metrics.write(int(self.state.step), vals)
+                    print(f"[{epoch}, {i + 1}] loss: {vals['loss']:.3f} "
+                          f"({vals['pairs_per_s']:.2f} pairs/s)")
                 running, t_last = [], time.time()
         self.ckpt.save(int(self.state.step),
                        jax.tree.map(np.asarray, self.state),
@@ -159,14 +164,23 @@ class Trainer:
         @1/3/5 m & deg are always included in the metric rows."""
         from ccvpe_tpu.train.evaluate import eval_over_loader
         named = loaders if isinstance(loaders, dict) else {"val": loaders}
+        params, batch_stats = self.state.params, self.state.batch_stats
+        if jax.process_count() > 1:
+            # eval batches are process-local (each host walks its loader
+            # shard); the replicated GLOBAL state arrays cannot join that
+            # jit - drop them to local copies once per validation pass
+            params, batch_stats = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x)), (params, batch_stats))
         results = {}
         for name, loader in named.items():
             summary = eval_over_loader(
-                self.eval_step, self.state.params, self.state.batch_stats,
+                self.eval_step, params, batch_stats,
                 loader, self.model_cfg, meters_per_pixel)
-            self.metrics.write(int(self.state.step),
-                               {f"{name}/{k}": v for k, v in summary.items()})
-            print(f"epoch {epoch} {name}: {summary}")
+            if self.is_main:
+                self.metrics.write(
+                    int(self.state.step),
+                    {f"{name}/{k}": v for k, v in summary.items()})
+                print(f"epoch {epoch} {name}: {summary}")
             results[name] = summary
         return results if isinstance(loaders, dict) else results["val"]
 

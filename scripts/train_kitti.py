@@ -38,7 +38,11 @@ def main():
     p.add_argument("--image_dtype", default="uint8",
                    choices=["float32", "uint8"],
                    help="uint8 ships raw pixels and normalizes on device")
+    from ccvpe_tpu.core.mesh import add_distributed_flags, setup_distributed
+    add_distributed_flags(p)
     args = p.parse_args()
+    shard_id, num_shards = setup_distributed(args)
+    local_bs = args.batch_size // num_shards
 
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.data.kitti import KittiDataset
@@ -73,11 +77,13 @@ def main():
         trainer = Trainer(model_cfg, train_cfg, workdir=args.workdir)
         trainer.fit(
             train_loader_fn=lambda epoch: ThreadedLoader(
-                train_set, args.batch_size, shuffle=True, seed=epoch,
-                num_workers=args.num_workers),
+                train_set, local_bs, shuffle=True, seed=epoch,
+                num_workers=args.num_workers,
+                shard_id=shard_id, num_shards=num_shards),
             val_loader_fn=lambda epoch: {
-                name: ThreadedLoader(ds, args.batch_size, shuffle=False,
-                                     num_workers=args.num_workers)
+                name: ThreadedLoader(ds, local_bs, shuffle=False,
+                                     num_workers=args.num_workers,
+                                     shard_id=shard_id, num_shards=num_shards)
                 for name, ds in eval_sets.items()},
             meters_per_pixel=train_set.meters_per_pixel,
         )

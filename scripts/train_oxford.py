@@ -36,7 +36,11 @@ def main():
     p.add_argument("--image_dtype", default="uint8",
                    choices=["float32", "uint8"],
                    help="uint8 ships raw pixels and normalizes on device")
+    from ccvpe_tpu.core.mesh import add_distributed_flags, setup_distributed
+    add_distributed_flags(p)
     args = p.parse_args()
+    shard_id, num_shards = setup_distributed(args)
+    local_bs = args.batch_size // num_shards
 
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.data.loader import ThreadedLoader
@@ -59,11 +63,13 @@ def main():
         trainer = Trainer(model_cfg, train_cfg, workdir=args.workdir)
         trainer.fit(
             train_loader_fn=lambda epoch: ThreadedLoader(
-                train_set, args.batch_size, shuffle=True, seed=epoch,
-                num_workers=args.num_workers),
+                train_set, local_bs, shuffle=True, seed=epoch,
+                num_workers=args.num_workers,
+                shard_id=shard_id, num_shards=num_shards),
             val_loader_fn=lambda epoch: ThreadedLoader(
-                val_set, args.batch_size, shuffle=False,
-                num_workers=args.num_workers),
+                val_set, local_bs, shuffle=False,
+                num_workers=args.num_workers,
+                shard_id=shard_id, num_shards=num_shards),
             meters_per_pixel=train_set.meters_per_pixel,
         )
     else:
@@ -81,10 +87,13 @@ def main():
             summary = stream_eval(
                 model, model_cfg, params, batch_stats, dataset,
                 indices=range(bounds[t], bounds[t + 1]),
-                batch_size=args.batch_size, meters_per_pixel=mpp,
-                num_workers=args.num_workers)
+                batch_size=local_bs, meters_per_pixel=mpp,
+                num_workers=args.num_workers,
+                shard_id=shard_id, num_shards=num_shards)
             fps = summary.pop("fps")
-            print(f"traversal {t + 1}: {summary} stream rate {fps:.1f} FPS")
+            if shard_id == 0:
+                print(f"traversal {t + 1}: {summary} "
+                      f"stream rate {fps:.1f} FPS/host")
 
 
 if __name__ == "__main__":

@@ -49,7 +49,11 @@ def main():
                         "(4x less host->device traffic)")
     p.add_argument("--preset", default="vigor", choices=["vigor", "tiny"],
                    help="tiny = miniature geometry smoke mode (CPU-friendly)")
+    from ccvpe_tpu.core.mesh import add_distributed_flags, setup_distributed
+    add_distributed_flags(p)
     args = p.parse_args()
+    shard_id, num_shards = setup_distributed(args)
+    local_bs = args.batch_size // num_shards
 
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.data.loader import ThreadedLoader
@@ -88,11 +92,13 @@ def main():
         trainer = Trainer(model_cfg, train_cfg, workdir=args.workdir)
         trainer.fit(
             train_loader_fn=lambda epoch: ThreadedLoader(
-                dataset, args.batch_size, shuffle=True, seed=epoch,
-                num_workers=args.num_workers, indices=train_idx),
+                dataset, local_bs, shuffle=True, seed=epoch,
+                num_workers=args.num_workers, indices=train_idx,
+                shard_id=shard_id, num_shards=num_shards),
             val_loader_fn=lambda epoch: ThreadedLoader(
-                dataset, args.batch_size, shuffle=False,
-                num_workers=args.num_workers, indices=val_idx),
+                dataset, local_bs, shuffle=False,
+                num_workers=args.num_workers, indices=val_idx,
+                shard_id=shard_id, num_shards=num_shards),
             meters_per_pixel=dataset.meters_per_pixel,
         )
     else:
