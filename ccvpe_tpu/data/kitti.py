@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ccvpe_tpu.data.transforms import finalize, resize_pil
+from ccvpe_tpu.data.transforms import finalize, open_rgb, resize_pil
 
 DEFAULT_LAT = 49.015           # datasets.py:358
 SATMAP_ZOOM = 18               # datasets.py:359
@@ -102,13 +102,16 @@ class KittiDataset:
         with open(oxts) as f:
             heading = float(f.readline().split(" ")[5])  # radians
 
-        grd_img = PIL.Image.open(
+        # unreadable inputs degrade to blank with a logged warning
+        # (reference datasets.py:100-105); grd falls back at the raw KITTI
+        # frame size, sat at its raw tile size so the affine chain holds
+        grd_img = open_rgb(
             os.path.join(self.root, GRD_DIR, drive_dir, LEFT_CAM_DIR,
-                         image_no.lower())).convert("RGB")
+                         image_no.lower()), (1242, 375))
         grd = finalize(resize_pil(grd_img, self.grd_size), self.image_dtype)
 
-        sat_map = PIL.Image.open(
-            os.path.join(self.root, SATMAP_DIR, file_name)).convert("RGB")
+        sat_map = open_rgb(
+            os.path.join(self.root, SATMAP_DIR, file_name), (1280, 1280))
 
         # rotate so East = heading; lever-arm shift; random shift; random rot
         # (datasets.py:443-464)

@@ -54,8 +54,19 @@ class ThreadedLoader:
         # from the checkpointed cursor)
         self.start_batch = 0
 
+    def _local_count(self) -> int:
+        """Exact number of samples this shard yields per epoch (must agree
+        with _epoch_indices so every host runs the same number of batches -
+        unequal counts deadlock the train-step collectives)."""
+        gb = self.batch_size * self.num_shards
+        n = len(self.base_indices) // gb * self.batch_size
+        if not self.drop_last:
+            tail = len(self.base_indices) % gb
+            n += max(0, -(-(tail - self.shard_id) // self.num_shards))
+        return n
+
     def __len__(self) -> int:
-        n = len(self.base_indices) // self.num_shards
+        n = self._local_count()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self) -> List[int]:
@@ -75,9 +86,14 @@ class ThreadedLoader:
         for t in range(len(idx) // gb):
             base = t * gb + self.shard_id * self.batch_size
             out.extend(idx[base: base + self.batch_size])
-        # distribute the ragged tail round-robin (only reachable with
-        # drop_last=False, i.e. per-host independent eval)
-        out.extend(idx[len(idx) // gb * gb:][self.shard_id::self.num_shards])
+        if not self.drop_last:
+            # per-host independent eval: distribute the ragged tail
+            # round-robin so every sample is seen exactly once. With
+            # drop_last=True the tail is dropped on EVERY shard (matching
+            # single-process drop semantics); extending it here could give
+            # shard 0 a full extra local batch that survives the per-shard
+            # truncation and deadlocks multi-host training collectives.
+            out.extend(idx[len(idx) // gb * gb:][self.shard_id::self.num_shards])
         return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ccvpe_tpu.data.transforms import finalize, resize_pil
+from ccvpe_tpu.data.transforms import finalize, open_rgb, resize_pil
 
 METERS_PER_PIXEL = 0.09240351462361521   # datasets.py:193
 CROP = 800
@@ -109,8 +109,10 @@ class OxfordDataset:
         rng = rng or random
         import PIL.Image
 
-        grd_img = PIL.Image.open(
-            os.path.join(self.grd_image_root, self.grd_list[idx][0])).convert("RGB")
+        # unreadable frames degrade to blank (reference datasets.py:100-105)
+        grd_img = open_rgb(
+            os.path.join(self.grd_image_root, self.grd_list[idx][0]),
+            (1280, 960))
         grd = finalize(resize_pil(grd_img, self.grd_size), self.image_dtype)
 
         coord = self.transform(

@@ -7,12 +7,29 @@ rendering is NOT done here - it happens on-device from scalars
 
 from __future__ import annotations
 
+import logging
 from typing import Tuple
 
 import numpy as np
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+logger = logging.getLogger("ccvpe_tpu.data")
+
+
+def open_rgb(path: str, fallback_wh: Tuple[int, int]):
+    """PIL open -> RGB with blank-image degradation on unreadable files
+    (reference datasets.py:100-105): one corrupt JPEG in a 100k-sample epoch
+    must not abort a multi-hour run. Logs a warning so the corruption is
+    visible."""
+    import PIL.Image
+    try:
+        return PIL.Image.open(path).convert("RGB")
+    except Exception as e:  # noqa: BLE001 - any decode failure degrades
+        logger.warning("unreadable image %s (%s); substituting blank",
+                       path, e)
+        return PIL.Image.new("RGB", fallback_wh)
 
 
 def resize_pil(img, size_hw: Tuple[int, int]):
@@ -62,12 +79,8 @@ def load_image(path: str, size_hw: Tuple[int, int], fallback_hw=None,
                else native_io.load_image_native(path, size_hw))
         if out is not None:
             return out
-    import PIL.Image
-    try:
-        img = PIL.Image.open(path).convert("RGB")
-    except Exception:
-        h, w = fallback_hw or size_hw
-        img = PIL.Image.new("RGB", (w, h))
+    h, w = fallback_hw or size_hw
+    img = open_rgb(path, (w, h))
     img = resize_pil(img, size_hw)
     if dtype == "uint8":
         return np.asarray(img, np.uint8)

@@ -148,10 +148,12 @@ class VIGORDataset:
                 if abs(row_off) < 320 and abs(col_off) < 320:
                     break
         row_off, col_off = self.delta[idx, pos_index]
-        import PIL.Image
-        sat_img = PIL.Image.open(self.sat_list[self.label[idx][pos_index]]).convert("RGB")
+        from ccvpe_tpu.data.transforms import normalize, open_rgb, resize_pil
+        # unreadable patches degrade to blank (reference datasets.py:100-105);
+        # fallback at the raw 640px patch size keeps the delta rescale sane
+        sat_img = open_rgb(self.sat_list[self.label[idx][pos_index]],
+                           (640, 640))
         w_raw, h_raw = sat_img.size
-        from ccvpe_tpu.data.transforms import normalize, resize_pil
         sat_resized = resize_pil(sat_img, self.sat_size)
         sat = (np.asarray(sat_resized, np.uint8)
                if self.image_dtype == "uint8" else normalize(sat_resized))

@@ -26,6 +26,32 @@ import numpy as np
 
 from ccvpe_tpu.ops import pose
 
+# Fused forward+decode steps, cached across stream_eval calls: a fresh
+# jax.jit closure per call would retrace (and on the remote-compile TPU
+# platform recompile, 10+ min) the full forward every traversal. Keyed by the
+# caller's eval_step object, or by (model, model_cfg) when none is passed
+# (frozen dataclasses, so equal configs share one compiled step).
+_DECODE_STEP_CACHE: dict = {}
+
+
+def _get_decode_step(model, model_cfg, eval_step):
+    from ccvpe_tpu.train.step import make_eval_step
+
+    key = eval_step if eval_step is not None else (model, model_cfg)
+    cached = _DECODE_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base_step = eval_step if eval_step is not None else make_eval_step(
+        model, model_cfg)
+
+    @jax.jit
+    def decode_step(p, bs, grd, sat):
+        heatmap, ori = base_step(p, bs, grd, sat)
+        return pose.decode_pose(heatmap, ori)
+
+    _DECODE_STEP_CACHE[key] = decode_step
+    return decode_step
+
 
 def stream_eval(
     model,
@@ -48,20 +74,14 @@ def stream_eval(
     `core.mesh.all_hosts_gather` if needed.
     """
     from ccvpe_tpu.data.loader import ThreadedLoader
-    from ccvpe_tpu.train.step import make_eval_step
 
-    base_step = eval_step if eval_step is not None else make_eval_step(
-        model, model_cfg)
     hs, ws = model_cfg.sat_size
 
     # One dispatch per batch, 3*B floats fetched per batch: the heatmap/ori
     # maps never leave the device (a [B,512,512,1] fetch would dominate the
     # stream on any host link; the reference pulls full maps every frame,
     # train_OxfordRobotCar.py:231-247).
-    @jax.jit
-    def decode_step(p, bs, grd, sat):
-        heatmap, ori = base_step(p, bs, grd, sat)
-        return pose.decode_pose(heatmap, ori)
+    decode_step = _get_decode_step(model, model_cfg, eval_step)
 
     loader = ThreadedLoader(dataset, batch_size, shuffle=False,
                             num_workers=num_workers, indices=list(indices),
@@ -97,6 +117,7 @@ def stream_eval(
         consume(*pending)
     elapsed = time.perf_counter() - t0
 
+    local_n = n
     if num_shards > 1:
         # multi-host stream: pool the raw per-frame errors so medians and
         # recalls are over the whole traversal, not one host's stride
@@ -111,6 +132,10 @@ def stream_eval(
                     pose.recalls(np.array(lat)).items()})
     summary.update({k.replace("recall@", "ori_recall@") + "deg": v
                     for k, v in pose.recalls(np.array(ori_err)).items()})
-    summary["fps"] = n / elapsed if elapsed > 0 else 0.0
+    # fps = THIS host's rate (local frames / local wall time); after pooling
+    # n is the global frame count, so n/elapsed would overstate a per-host
+    # print by num_shards. aggregate_fps is the cross-host stream throughput.
+    summary["fps"] = local_n / elapsed if elapsed > 0 else 0.0
+    summary["aggregate_fps"] = n / elapsed if elapsed > 0 else 0.0
     summary["frames"] = float(n)
     return summary

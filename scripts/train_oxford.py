@@ -40,6 +40,10 @@ def main():
     add_distributed_flags(p)
     args = p.parse_args()
     shard_id, num_shards = setup_distributed(args)
+    assert args.batch_size % num_shards == 0 and args.batch_size >= num_shards, (
+        f"global batch {args.batch_size} must be divisible by num_shards "
+        f"{num_shards} (otherwise the actual global batch silently shrinks "
+        f"and may stop dividing the mesh data axis)")
     local_bs = args.batch_size // num_shards
 
     from ccvpe_tpu.core import config as cfg_lib

@@ -63,6 +63,40 @@ def test_vigor_dataset(vigor_root):
     assert abs(s2.angle_deg - 90.0) < 1e-5
 
 
+def test_corrupt_image_degrades_to_blank(vigor_root, caplog):
+    """A corrupt panorama or aerial patch yields a blank image with a logged
+    warning instead of raising (reference datasets.py:100-105) - one bad
+    JPEG in a 100k-pair epoch must not abort a multi-hour run."""
+    import logging
+    import random
+    from ccvpe_tpu.data.loader import ThreadedLoader
+    from ccvpe_tpu.data.vigor import VIGORDataset
+
+    ds = VIGORDataset(vigor_root, split="samearea", train=True)
+    # corrupt one panorama AND one aerial patch on disk
+    with open(ds.grd_list[1], "wb") as f:
+        f.write(b"not a jpeg")
+    with open(ds.sat_list[int(ds.label[2][0])], "wb") as f:
+        f.write(b"\xff\xd8broken")
+    try:
+        with caplog.at_level(logging.WARNING, logger="ccvpe_tpu.data"):
+            s1 = ds.__getitem__(1, rng=random.Random(0))
+            s2 = ds.__getitem__(2, rng=random.Random(0))
+        assert s1.grd.shape == (320, 640, 3) and float(np.abs(
+            s1.grd * 0 + s1.grd).sum()) >= 0  # finite, right shape
+        assert s2.sat.shape == (512, 512, 3)
+        assert any("unreadable image" in r.message for r in caplog.records)
+        # the epoch-level path: a loader pass over the poisoned dataset
+        # completes without raising
+        n = 0
+        for b in ThreadedLoader(ds, 4, shuffle=False, num_workers=2):
+            n += b["grd"].shape[0]
+        assert n == len(ds) // 4 * 4
+    finally:
+        make_img(ds.grd_list[1], (1024, 512), (60, 10, 10))
+        make_img(ds.sat_list[int(ds.label[2][0])], (640, 640), (10, 60, 10))
+
+
 def test_vigor_semipositives(vigor_root):
     """pos_only=False samples among positive + semi-positive aerial refs,
     rejecting ones whose GT falls outside the patch (datasets.py:127-133)."""

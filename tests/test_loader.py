@@ -69,6 +69,38 @@ def test_subset_indices_and_drop_last():
     assert len(batches) == 3 and batches[-1]["x"].shape[0] == 4
 
 
+def test_drop_last_equal_batches_across_shards():
+    """ADVICE r2 (high): with a ragged tail T >= num_shards*(batch_size-1)+1
+    the old round-robin tail extension gave shard 0 an extra FULL local batch
+    under drop_last=True (23 = 2*8 tail of 7 -> shard 0 got 8+4=12 -> 3
+    batches vs shard 1's 2), deadlocking multi-host collectives. Every shard
+    must yield the same batch count, equal to len(loader)."""
+    ds = ToyDataset(23)
+    counts, seen = [], []
+    for shard in range(2):
+        loader = ThreadedLoader(ds, 4, shuffle=True, seed=3, num_workers=2,
+                                shard_id=shard, num_shards=2)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        counts.append(len(batches))
+        for b in batches:
+            assert b["x"].shape[0] == 4
+            seen.extend(b["x"][:, 0].astype(int).tolist())
+    assert counts[0] == counts[1] == 23 // (4 * 2)
+    assert len(seen) == len(set(seen))  # disjoint across shards
+
+    # drop_last=False still covers every sample exactly once, tail included
+    seen = []
+    for shard in range(2):
+        loader = ThreadedLoader(ds, 4, shuffle=True, seed=3, num_workers=2,
+                                shard_id=shard, num_shards=2, drop_last=False)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        for b in batches:
+            seen.extend(b["x"][:, 0].astype(int).tolist())
+    assert sorted(seen) == list(range(23))
+
+
 def test_collate_strings():
     items = [Item(np.zeros(2, np.float32), "a"), Item(np.ones(2, np.float32), "b")]
     out = default_collate(items)
