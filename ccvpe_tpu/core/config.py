@@ -80,6 +80,10 @@ class ModelConfig:
     # forward of the encoders in backward for a large cut in stored
     # activations - useful for big batches / big tiles.
     remat_backbone: bool = False
+    # with remat_backbone, STORE (don't remat) the first N backbone blocks:
+    # the high-res early blocks are the costliest to recompute but have the
+    # smallest outputs (nn/efficientnet.py::EfficientNetB0.remat_skip)
+    remat_skip_blocks: int = 0
     # Rematerialize each decoder stage as well (the 512^2 activations are the
     # largest); enables batch sizes beyond the remat_backbone ceiling.
     remat_decoder: bool = False
@@ -96,6 +100,17 @@ class ModelConfig:
     # max-over-bins reduce inserts the cross-device combine. Requires an
     # ambient mesh (jax.set_mesh) carrying the axis. None = unsharded bins.
     ori_axis: Optional[str] = None
+
+    # --- train-time orientation-decoder windowing ---
+    # The orientation loss weights the (cos, sin) field by the sigma=4 GT
+    # Gaussian (losses.py:28-29), which UNDERFLOWS TO EXACTLY ZERO in f32
+    # beyond ~58 px from the GT - so at train time the ori decoder's two
+    # fine stages only need a window around the GT. With a window of W >=
+    # 160 px (Gaussian support 58 + conv receptive-field ring + crop snap,
+    # models/cvm.py) the training loss and gradients are EXACTLY those of
+    # the full-resolution field; the eval path always computes full res.
+    # 0 disables; 224 is the validated default for 512^2 aerial tiles.
+    ori_window: int = 0
 
     # --- ori-prior restricted search (models.py:489, train_VIGOR.py:49) ---
     # None = full K-bin search. Otherwise degrees of orientation noise; the

@@ -30,8 +30,19 @@ from ccvpe_tpu.ops.corr import rolled_corr_dispatch
 class CVMOutput(NamedTuple):
     logits: jnp.ndarray              # [B, H*W]
     heatmap: jnp.ndarray             # [B, H, W, 1]
-    ori: jnp.ndarray                 # [B, H, W, 2]
+    ori: jnp.ndarray                 # [B, H, W, 2] (or the GT window when
+                                     # ori_window is active, see ori_offsets)
     matching_scores: Tuple[jnp.ndarray, ...]  # per scale [B, h_s, w_s, K]
+    ori_offsets: Optional[jnp.ndarray] = None  # [B, 2] fine-res (row0, col0)
+                                     # of the ori window; None = full field
+
+
+def _batch_crop(t: jnp.ndarray, r0: jnp.ndarray, c0: jnp.ndarray,
+                size: int) -> jnp.ndarray:
+    """Per-sample spatial window: t [B, H, W, C], r0/c0 [B] int32."""
+    return jax.vmap(
+        lambda img, r, c: jax.lax.dynamic_slice(
+            img, (r, c, 0), (size, size, t.shape[-1])))(t, r0, c0)
 
 
 class CVM(nn.Module):
@@ -41,15 +52,24 @@ class CVM(nn.Module):
 
     @nn.compact
     def __call__(self, grd: jnp.ndarray, sat: jnp.ndarray,
-                 train: bool = False) -> CVMOutput:
+                 train: bool = False,
+                 ori_window: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 ) -> CVMOutput:
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
+
+        # During init (batch-1 eager trace) sharding constraints only create
+        # degenerate GSPMD shardings on tiny tensors - the r2 dryrun's
+        # "involuntary full rematerialization" warnings all came from
+        # [1, K, D]-scale init-trace concatenates. Constraints are only
+        # meaningful in the real jitted step, so skip them while initializing.
+        initializing = self.is_initializing()
 
         def spatial_constraint(t):
             """Shard activation height over the model axis (TP analog for
             large aerial tiles); XLA SPMD partitions convs + inserts halo
             exchange for the 3x3 kernels. No-op without cfg.spatial_axis."""
-            if cfg.spatial_axis is None or t.shape[1] < 8:
+            if cfg.spatial_axis is None or t.shape[1] < 8 or initializing:
                 return t
             from jax.sharding import PartitionSpec as P
             return jax.lax.with_sharding_constraint(
@@ -58,9 +78,11 @@ class CVM(nn.Module):
         # --- encoders ---
         grd_feat, _ = EfficientNetB0(circular=cfg.circular, dtype=dtype,
                                      remat=cfg.remat_backbone,
+                                     remat_skip=cfg.remat_skip_blocks,
                                      name="grd_encoder")(grd, train)
         sat_feat, sat_multiscale = EfficientNetB0(circular=False, dtype=dtype,
                                                   remat=cfg.remat_backbone,
+                                                  remat_skip=cfg.remat_skip_blocks,
                                                   name="sat_encoder")(sat, train)
         # Skip connections: the LAST backbone block at each spatial resolution.
         # For a 512^2 aerial input this selects blocks 15,10,4,2,0 with
@@ -84,7 +106,8 @@ class CVM(nn.Module):
             return rolled_corr_dispatch(
                 x, grd_descs[scale_idx], shift=cfg.roll_shifts[scale_idx],
                 num_bins=cfg.num_bins, center=cfg.center_window, bins=bins,
-                impl=cfg.corr_impl, ori_axis=cfg.ori_axis,
+                impl=cfg.corr_impl,
+                ori_axis=None if initializing else cfg.ori_axis,
             )
 
         # --- bottleneck matching ---
@@ -125,17 +148,37 @@ class CVM(nn.Module):
         heatmap = jax.nn.softmax(logits, axis=-1).reshape(logits_map.shape)
 
         # --- orientation decoder ---
+        # Train-time GT windowing (ori_window): from the 2nd-to-last stage
+        # on, only a cfg.ori_window-px window around the GT is decoded. The
+        # orientation loss weight (sigma-4 Gaussian, losses.py:28-29) is
+        # EXACTLY zero in f32 beyond ~58 px, and the window keeps Gaussian
+        # support + the convs' receptive-field ring + the /4 crop snap well
+        # inside it, so training losses/gradients are bit-equal to decoding
+        # the full field (tests/test_ori_window.py). Eval never windows.
+        win = cfg.ori_window if ori_window is not None else 0
+        if win:
+            hs = cfg.sat_size[0]
+            assert win >= 160 and win % 4 == 0 and win <= hs, (win, hs)
+            r0, c0 = ori_window
         y = jnp.concatenate([scores_full, l2_normalize(sat_desc)], axis=-1)
         for s in range(n):
-            skip = skip_by_size.get(y.shape[1] * 2) if s < n - 1 else None
+            full_res = y.shape[1] if not (win and s >= n - 2) else (
+                cfg.sat_grid * (2 ** s))
+            if win and s == n - 2:
+                y = _batch_crop(y, r0 // 4, c0 // 4, win // 4)
+            skip = skip_by_size.get(full_res * 2) if s < n - 1 else None
+            if win and s >= n - 2 and skip is not None:
+                skip = _batch_crop(skip, r0 // 2, c0 // 2, win // 2)
             y = stage_cls(
                 deconv_out=cfg.ori_deconv_out[s],
                 conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,
                 dtype=dtype, deconv_impl=cfg.deconv_impl,
                 name=f"ori_stage{s + 1}",
             )(y, skip)
-            y = spatial_constraint(y)
+            if not (win and s >= n - 2):
+                y = spatial_constraint(y)
         ori = HeadConv(cfg.head_hidden, 2, dtype=dtype, name="ori_head")(y)
         ori = l2_normalize(ori)   # per-pixel over (cos, sin) (models.py:341)
 
-        return CVMOutput(logits, heatmap, ori, tuple(all_scores))
+        offsets = jnp.stack([r0, c0], axis=-1) if win else None
+        return CVMOutput(logits, heatmap, ori, tuple(all_scores), offsets)

@@ -134,6 +134,11 @@ class EfficientNetB0(nn.Module):
     head_features: int = 1280
     dtype: Any = jnp.float32
     remat: bool = False
+    # With remat on, do NOT remat the first N blocks: the early high-res
+    # blocks (256^2/128^2 for a 512^2 input) are the most expensive to
+    # recompute but their outputs are small (few channels), so storing them
+    # buys back their entire backward recompute for a few hundred MB.
+    remat_skip: int = 0
 
     @nn.compact
     def __call__(
@@ -147,11 +152,13 @@ class EfficientNetB0(nn.Module):
         x = BatchNorm(name="stem_bn")(x, train)
         x = swish(x)
 
-        block_cls = nn.remat(MBConv, static_argnums=(2,)) if self.remat else MBConv
+        remat_cls = nn.remat(MBConv, static_argnums=(2,))
         multiscale = []
         n = len(B0_BLOCK_SPECS)
         for i, (e, cin, cout, k, s) in enumerate(B0_BLOCK_SPECS):
             ph, pw = pads[1 + i]
+            block_cls = (remat_cls if self.remat and i >= self.remat_skip
+                         else MBConv)
             x = block_cls(
                 expand_ratio=e, in_filters=cin, out_filters=cout, kernel=k,
                 stride=s, pad_h=ph, pad_w=pw, circular=self.circular,

@@ -101,9 +101,15 @@ def rolled_corr(
     g_mat, m_mat = build_roll_matrices(grd, total_dim, shift, bins, center)
     if ori_axis is not None:
         from jax.sharding import PartitionSpec as P
-        g_mat = jax.lax.with_sharding_constraint(
-            g_mat, P(None, ori_axis, None))
-        m_mat = jax.lax.with_sharding_constraint(m_mat, P(ori_axis, None))
+        # Pin ONLY the bin dim; leave batch/feature dims UNCONSTRAINED so
+        # the propagated batch sharding (g_mat inherits it from the
+        # data-sharded grd) survives. P(None, ...) would force the batch dim
+        # REPLICATED, conflicting with the propagated {data}-sharding - the
+        # source of the r2 dryrun's GSPMD "involuntary full
+        # rematerialization" warnings on every g_mat concatenate.
+        u = P.UNCONSTRAINED
+        g_mat = jax.lax.with_sharding_constraint(g_mat, P(u, ori_axis, u))
+        m_mat = jax.lax.with_sharding_constraint(m_mat, P(ori_axis, u))
     # accumulate in f32 on the MXU
     num = jnp.einsum("bhwd,bkd->bhwk", sat, g_mat,
                      preferred_element_type=jnp.float32)
@@ -114,8 +120,8 @@ def rolled_corr(
     out = num / (den + eps)
     if ori_axis is not None:
         from jax.sharding import PartitionSpec as P
-        out = jax.lax.with_sharding_constraint(
-            out, P(None, None, None, ori_axis))
+        u = P.UNCONSTRAINED
+        out = jax.lax.with_sharding_constraint(out, P(u, u, u, ori_axis))
     return out
 
 

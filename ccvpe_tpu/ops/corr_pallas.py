@@ -28,14 +28,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _corr_kernel(s_ref, g_ref, m_ref, out_ref, r_ref):
+def _corr_kernel(s_ref, g_ref, m_ref, out_ref, r_ref, *, combine):
     s = s_ref[0]                       # [T, D]
     g = g_ref[0]                       # [K, D]
     m = m_ref[:]                       # [K, D]
-    num = jax.lax.dot_general(
-        s, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    den2 = jax.lax.dot_general(
-        s * s, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if combine:
+        # D < 128: the MXU pads the contraction dim to 128 anyway, so stack
+        # [s | s^2] on the (padded-for-free) lane dim and [G'; M] on the
+        # contraction dim - ONE matmul produces num and den2 side by side at
+        # the cost the padded num-matmul alone would have.
+        k, d = m.shape
+        a = jnp.concatenate([s, s * s], axis=1)            # [T, 2D]
+        z = jnp.zeros((k, d), g.dtype)
+        b_mat = jnp.concatenate([
+            jnp.concatenate([g, z], axis=1),               # num row-block
+            jnp.concatenate([z, m], axis=1),               # den row-block
+        ], axis=0)                                         # [2K, 2D]
+        both = jax.lax.dot_general(
+            a, b_mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [T, 2K]
+        num, den2 = both[:, :k], both[:, k:]
+    else:
+        num = jax.lax.dot_general(
+            s, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        den2 = jax.lax.dot_general(
+            s * s, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     r = jax.lax.rsqrt(den2)
     out_ref[0] = num * r
     r_ref[0] = r
@@ -60,8 +79,12 @@ def _corr_fwd_pallas(s_flat: jnp.ndarray, g_mat: jnp.ndarray, m_mat: jnp.ndarray
     flops = 2 * b * n * d * k * 2
     bytes_accessed = 4 * (b * n * d + b * k * d + k * d + 2 * b * n * k)
 
+    # combine num+den into one matmul when both stacked dims still fit one
+    # MXU pass (D < 128 contraction, 2K <= 128 output)
+    combine = d < 128 and 2 * k <= 128
+
     out, r = pl.pallas_call(
-        _corr_kernel,
+        functools.partial(_corr_kernel, combine=combine),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, t, d), lambda i, j: (i, j, 0),

@@ -47,6 +47,26 @@ def gaussian_heatmap(
     return jnp.exp(-d2 / (2.0 * sigma * sigma))[..., None]
 
 
+def gaussian_heatmap_window(
+    height: int, width: int, win: int,
+    row0: jnp.ndarray, col0: jnp.ndarray,
+    row_offset: jnp.ndarray, col_offset: jnp.ndarray,
+    sigma: float = SIGMA,
+) -> jnp.ndarray:
+    """The same Gaussian as gaussian_heatmap, restricted to a per-sample
+    [row0:row0+win, col0:col0+win] window: bit-identical to slicing the full
+    map (same inclusive-endpoint linspace coordinates, just gathered).
+    row0/col0 [B] int32. Returns [B, win, win, 1]."""
+    xs = jnp.linspace(-width / 2.0, width / 2.0, width)
+    ys = jnp.linspace(-height / 2.0, height / 2.0, height)
+    xs_w = jax.vmap(lambda c: jax.lax.dynamic_slice(xs, (c,), (win,)))(col0)
+    ys_w = jax.vmap(lambda r: jax.lax.dynamic_slice(ys, (r,), (win,)))(row0)
+    x = xs_w[:, None, :] + col_offset[:, None, None]
+    y = ys_w[:, :, None] - row_offset[:, None, None]
+    d2 = x * x + y * y
+    return jnp.exp(-d2 / (2.0 * sigma * sigma))[..., None]
+
+
 def orientation_bin_weights(
     angle_deg: jnp.ndarray, num_bins: int, reversed_order: bool
 ) -> jnp.ndarray:

@@ -113,7 +113,8 @@ def _reversed_bins(model_cfg: ModelConfig) -> bool:
 
 def compute_losses(model_cfg: ModelConfig, train_cfg: TrainConfig,
                    out: CVMOutput, batch: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    from ccvpe_tpu.ops.gt import gaussian_heatmap, orientation_bin_weights
+    from ccvpe_tpu.ops.gt import (gaussian_heatmap, gaussian_heatmap_window,
+                                  orientation_bin_weights)
 
     hs, ws = batch.sat.shape[1:3]
     gt = gaussian_heatmap(hs, ws, batch.row_offset, batch.col_offset)
@@ -121,14 +122,25 @@ def compute_losses(model_cfg: ModelConfig, train_cfg: TrainConfig,
                                     _reversed_bins(model_cfg))  # [B, K]
     rad = batch.angle_deg * (jnp.pi / 180.0)
     gt_ori = jnp.stack([jnp.cos(rad), jnp.sin(rad)], axis=-1)[:, None, None, :]
-    gt_ori = jnp.broadcast_to(gt_ori, (*gt.shape[:3], 2))
 
     b = gt.shape[0]
     gt_flat = gt.reshape(b, -1)
     gt_flat = gt_flat / jnp.sum(gt_flat, axis=1, keepdims=True)
 
     loss_ce = cross_entropy_loss(out.logits, gt_flat)
-    loss_ori = orientation_loss(out.ori, gt_ori, gt)
+    if out.ori_offsets is not None:
+        # windowed ori decoding (ModelConfig.ori_window): the loss weight is
+        # the SAME Gaussian restricted to the window - exactly zero outside,
+        # so the windowed weighted sum equals the full one bit-for-bit
+        win = out.ori.shape[1]
+        gt_win = gaussian_heatmap_window(
+            hs, ws, win, out.ori_offsets[:, 0], out.ori_offsets[:, 1],
+            batch.row_offset, batch.col_offset)
+        loss_ori = orientation_loss(
+            out.ori, jnp.broadcast_to(gt_ori, (b, win, win, 2)), gt_win)
+    else:
+        loss_ori = orientation_loss(
+            out.ori, jnp.broadcast_to(gt_ori, (*gt.shape[:3], 2)), gt)
 
     nce_terms = []
     for s in out.matching_scores:
@@ -153,12 +165,31 @@ def compute_losses(model_cfg: ModelConfig, train_cfg: TrainConfig,
     return total, metrics
 
 
+def ori_window_starts(model_cfg: ModelConfig, batch: Batch):
+    """Per-sample fine-res window origin for the windowed ori decoder: the
+    GT pixel (the Gaussian argmax under ops/gt.py's inclusive-linspace grid)
+    centered in a cfg.ori_window box, clamped to the image and snapped to a
+    multiple of 4 so the /4-resolution crop start is integral."""
+    h, w = model_cfg.sat_size
+    win = model_cfg.ori_window
+    i_star = (batch.row_offset + h / 2.0) * (h - 1) / h
+    j_star = (-batch.col_offset + w / 2.0) * (w - 1) / w
+    r0 = jnp.clip(jnp.round(i_star - win / 2.0), 0, h - win)
+    c0 = jnp.clip(jnp.round(j_star - win / 2.0), 0, w - win)
+    r0 = (r0.astype(jnp.int32) // 4) * 4
+    c0 = (c0.astype(jnp.int32) // 4) * 4
+    return r0, c0
+
+
 def make_loss_fn(model: CVM, model_cfg: ModelConfig, train_cfg: TrainConfig):
     def loss_fn(params, batch_stats, batch, rng):
+        ori_window = (ori_window_starts(model_cfg, batch)
+                      if model_cfg.ori_window else None)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             device_normalize(batch.grd), device_normalize(batch.sat), True,
             mutable=["batch_stats"], rngs={"dropout": rng},
+            ori_window=ori_window,
         )
         total, metrics = compute_losses(model_cfg, train_cfg, out, batch)
         return total, (mutated["batch_stats"], metrics)

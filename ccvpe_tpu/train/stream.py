@@ -12,8 +12,9 @@ jitted dispatch whose only device->host fetch is 3 scalars per frame
 (rows, cols, angle), and the loop keeps TWO batches in flight - batch N+1
 is dispatched before batch N's scalars are fetched, so the dispatch+fetch
 round trip (10s of ms on tunneled platforms) overlaps the next batch's
-device compute instead of serializing with it. Measured effect:
-tools/bench_stream.py `pipelined_fps` vs `device_fps` at batch <= 4.
+device compute instead of serializing with it. Measured on-chip:
+tools/bench_stream.py `pipelined_fps` vs `device_fps`; per-batch numbers
+in docs/PERFORMANCE.md (Oxford streaming table).
 """
 
 from __future__ import annotations

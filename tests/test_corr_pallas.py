@@ -15,6 +15,11 @@ CASES = [
     (1, 16, 16, 640, 640, 32, 20, False),
     (1, 8, 8, 2048, 512, 128, 16, False),
     (2, 8, 8, 1280, 224, 64, 20, True),
+    # D < 128: the combined single-matmul path ([s|s^2] @ [G';M])
+    (2, 16, 16, 40, 40, 2, 20, False),       # VIGOR scale 6 channel plan
+    (1, 16, 16, 80, 80, 4, 20, False),       # VIGOR scale 5
+    (1, 8, 8, 64, 32, 8, 16, False),         # KITTI-like narrow window
+    (1, 8, 8, 40, 20, 2, 20, True),          # center window, D < 128
 ]
 
 

@@ -45,8 +45,11 @@ def test_ori_sharded_forward_matches_unsharded(rng):
                                    err_msg=f"scale {i + 1}")
     np.testing.assert_allclose(np.asarray(out_sh.heatmap),
                                np.asarray(out_ref.heatmap), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out_sh.ori),
-                               np.asarray(out_ref.ori), atol=1e-4)
+    # norm-floor-aware: the normalized ori field amplifies SPMD
+    # reduction-order noise at near-zero-norm pixels (see tests/_helpers.py)
+    from _helpers import assert_ori_close, raw_ori_norm
+    assert_ori_close(out_sh.ori, out_ref.ori,
+                     raw_ori_norm(model, variables, grd, sat))
 
 
 def test_ori_sharded_restricted_bins(rng):

@@ -43,16 +43,12 @@ def test_spatial_sharded_forward_matches_unsharded(rng):
     # ori is the L2-NORMALIZED (cos, sin) head output: at pixels where the
     # raw head vector has near-zero norm, normalization amplifies benign
     # SPMD reduction-order differences unboundedly (r2 judge saw 1 of 131072
-    # elements at 2.9e-4). Compare strictly only where the raw norm has
-    # signal; at degenerate pixels require a looser direction match.
+    # elements at 2.9e-4). Norm-floor-aware comparison (tests/_helpers.py).
+    from _helpers import assert_ori_close
     raw_ori = np.asarray(
         jax.tree.leaves(inter["intermediates"])[0])      # pre-normalization
     raw_norm = np.linalg.norm(raw_ori, axis=-1, keepdims=True)
-    well_posed = np.broadcast_to(raw_norm > 1e-2, raw_ori.shape)
-    ori_sh, ori_ref = np.asarray(out_sh.ori), np.asarray(out_ref.ori)
-    np.testing.assert_allclose(ori_sh[well_posed], ori_ref[well_posed],
-                               atol=1e-4)
-    np.testing.assert_allclose(ori_sh, ori_ref, atol=5e-2)
+    assert_ori_close(out_sh.ori, out_ref.ori, raw_norm)
     np.testing.assert_allclose(np.asarray(out_sh.logits),
                                np.asarray(out_ref.logits), atol=2e-3)
     for i, (a, b) in enumerate(zip(out_sh.matching_scores,

@@ -51,20 +51,26 @@ def main():
     cases = [
         ("vigor_bottleneck", 64, 8, 8, 1280, 1280, 64, 20),
         ("vigor_scale4", 64, 64, 64, 160, 160, 8, 20),
+        ("vigor_scale5", 64, 128, 128, 80, 80, 4, 20),
         ("vigor_scale6", 64, 256, 256, 40, 40, 2, 20),
         ("kitti_bottleneck", 32, 8, 8, 2048, 2048, 128, 16),
     ]
+    skip_loops = os.environ.get("BENCH_CORR_NO_LOOPS", "0") == "1"
     for name, b, h, w, d, l, shift, k in cases:
         sat = jnp.asarray(rng.normal(size=(b, h, w, d)).astype(np.float32))
         grd = jnp.asarray(rng.normal(size=(b, l)).astype(np.float32))
 
         impls = {
             "xla": jax.jit(lambda s, g: rolled_corr(s, g, shift, k)),
-            "loops": jax.jit(lambda s, g: rolled_corr_reference(s, g, shift, k)),
         }
-        if d >= 128:
-            impls["pallas"] = jax.jit(
-                lambda s, g: rolled_corr_pallas(s, g, shift, k))
+        if not skip_loops:
+            impls["loops"] = jax.jit(
+                lambda s, g: rolled_corr_reference(s, g, shift, k))
+        # pallas now covers D < 128 too (combined [s|s^2] @ [G';M] single
+        # matmul, ops/corr_pallas.py); bench all scales to set the dispatch
+        # threshold empirically
+        impls["pallas"] = jax.jit(
+            lambda s, g: rolled_corr_pallas(s, g, shift, k))
 
         # SOL: one read of S (f32), one write of scores; G/M matrices are tiny
         sol_bytes = 4 * (b * h * w * d + b * h * w * k)

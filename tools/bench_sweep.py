@@ -33,10 +33,11 @@ enable_compile_cache()
 def parse_config(s):
     out = {"batch": 32, "remat_backbone": 1, "remat_decoder": 0,
            "dtype": "float32", "preset": "vigor", "deconv": "einsum",
-           "flatten": 1, "accum": 1}
+           "flatten": 1, "accum": 1, "remat_skip": 0, "corr": "auto",
+           "ori_window": 0}
     for kv in s.split(","):
         k, v = kv.split("=")
-        out[k] = v if k in ("dtype", "preset", "deconv") else int(v)
+        out[k] = v if k in ("dtype", "preset", "deconv", "corr") else int(v)
     return out
 
 
@@ -48,7 +49,10 @@ def run_one(cfg, warmup=5, iters=30):
         cfg_lib.get_model_config(cfg["preset"]),
         remat_backbone=bool(cfg["remat_backbone"]),
         remat_decoder=bool(cfg["remat_decoder"]),
+        remat_skip_blocks=cfg["remat_skip"],
+        ori_window=cfg["ori_window"],
         deconv_impl=cfg["deconv"],
+        corr_impl=cfg["corr"],
         compute_dtype=cfg["dtype"])
     train_cfg = cfg_lib.TrainConfig(batch_size=cfg["batch"],
                                     flatten_optimizer=bool(cfg["flatten"]),
