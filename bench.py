@@ -30,11 +30,17 @@ TORCH_CPU_PAIRS_PER_S = 0.0432
 # Throughput-optimal single-chip configuration (docs/PERFORMANCE.md):
 # bf16 activations on the conv paths (the step is HBM-bandwidth-bound at the
 # fine decoder resolutions; params/BN/correlation/losses stay f32), backbone
-# rematerialization (gradient-identical), deconv_impl='conv' (avoids the
-# einsum variant's 6-D padded temporaries), batch 64 (batch 128 exceeds the
-# remote compile helper's limits on this platform).
-BATCH = 64
-DTYPE = "bfloat16"
+# rematerialization with the first blocks stored (remat_skip), train-time
+# orientation-decoder GT windowing (gradient-exact, tests/test_ori_window.py),
+# deconv_impl='conv' (avoids the einsum variant's 6-D padded temporaries),
+# batch 80 (96/128 exceed the remote compile helper's limits). Every knob is
+# env-overridable for A/B runs (BENCH_<NAME>).
+BATCH = int(os.environ.get("BENCH_BATCH", 80))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+REMAT_SKIP = int(os.environ.get("BENCH_REMAT_SKIP", 2))
+ORI_WINDOW = int(os.environ.get("BENCH_ORI_WINDOW", 224))
+LMU_FUSED_MIN_RES = int(os.environ.get("BENCH_LMU_FUSED", 0))
+CORR_IMPL = os.environ.get("BENCH_CORR", "auto")
 WARMUP = 5
 ITERS = 30
 
@@ -46,7 +52,11 @@ def main():
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
     model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
-                                    deconv_impl="conv", compute_dtype=DTYPE)
+                                    deconv_impl="conv", compute_dtype=DTYPE,
+                                    remat_skip_blocks=REMAT_SKIP,
+                                    ori_window=ORI_WINDOW,
+                                    lmu_fused_min_res=LMU_FUSED_MIN_RES,
+                                    corr_impl=CORR_IMPL)
     train_cfg = cfg_lib.TrainConfig(batch_size=BATCH)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))

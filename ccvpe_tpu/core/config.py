@@ -101,6 +101,18 @@ class ModelConfig:
     # ambient mesh (jax.set_mesh) carrying the axis. None = unsharded bins.
     ori_axis: Optional[str] = None
 
+    # --- fused LMU decoder stages (ops/lmu_pallas.py) ---
+    # 0 = off. Otherwise route decoder stages (and the final stage + head
+    # convs) whose OUTPUT fine resolution >= this value through the fused
+    # Pallas kernel: deconv2x2 + skip concat + conv3x3 + relu + conv3x3 in
+    # one HBM pass (forward), XLA-recompute backward (custom VJP, remat
+    # semantics). 256 fuses the two finest stages of both decoders + heads.
+    # Parameter tree is unchanged - flip freely on any checkpoint. Runs on
+    # single-device TPU; on CPU backends the kernel runs in interpret mode
+    # (tests). Not compatible with spatial_axis sharding (the pallas_call
+    # would be replicated by GSPMD, not partitioned).
+    lmu_fused_min_res: int = 0
+
     # --- train-time orientation-decoder windowing ---
     # The orientation loss weights the (cos, sin) field by the sigma=4 GT
     # Gaussian (losses.py:28-29), which UNDERFLOWS TO EXACTLY ZERO in f32

@@ -102,6 +102,34 @@ class CVM(nn.Module):
         stage_cls = (nn.remat(DecoderStage) if cfg.remat_decoder
                      else DecoderStage)
 
+        # Fused LMU stages (ops/lmu_pallas.py): route stages whose output
+        # resolution is >= cfg.lmu_fused_min_res through the one-HBM-pass
+        # Pallas kernel; the final stage's deconv is fused WITH the head's
+        # two convs (reference models.py:125-127: deconv1 -> conv1 is one
+        # uninterrupted chain, the fattest HBM traffic of the step).
+        fuse_min = cfg.lmu_fused_min_res
+        if fuse_min:
+            assert cfg.spatial_axis is None, \
+                "lmu_fused_min_res cannot combine with spatial_axis sharding"
+
+        def stage_fused(res_out: int) -> bool:
+            return bool(fuse_min) and res_out >= fuse_min
+
+        def fused_final_head(z, stage_mod, head_mod):
+            from ccvpe_tpu.nn.decoder import materialized_params, pick_strip
+            from ccvpe_tpu.ops.lmu_pallas import fused_stage_diff
+            dp = materialized_params(stage_mod, z[:1, :2, :2], None)["deconv"]
+            hp = materialized_params(
+                head_mod,
+                jnp.zeros((1, 4, 4, dp["kernel"].shape[-1]), z.dtype))
+            return fused_stage_diff(
+                z.astype(dtype), None, dp["kernel"], dp["bias"],
+                hp["conv_a"]["kernel"], hp["conv_a"]["bias"],
+                hp["conv_b"]["kernel"], hp["conv_b"]["bias"],
+                pick_strip(z.shape[1]),
+                jax.default_backend() == "cpu")   # interpret mode on CPU
+                # (the TPU platform here registers as 'axon', ops/corr.py)
+
         def match(x, scale_idx, bins=None):
             return rolled_corr_dispatch(
                 x, grd_descs[scale_idx], shift=cfg.roll_shifts[scale_idx],
@@ -133,15 +161,27 @@ class CVM(nn.Module):
             score_max = jnp.max(scores_s, axis=-1, keepdims=True)
             x = jnp.concatenate([score_max, l2_normalize(x)], axis=-1)
             skip = skip_by_size.get(x.shape[1] * 2) if s < n - 1 else None
-            x = stage_cls(
-                deconv_out=cfg.loc_deconv_out[s],
-                conv_out=cfg.loc_conv_out[s] if s < n - 1 else None,
-                dtype=dtype, deconv_impl=cfg.deconv_impl,
-                name=f"loc_stage{s + 1}",
-            )(x, skip)
-            x = spatial_constraint(x)
-        logits_map = HeadConv(cfg.head_hidden, 1, dtype=dtype,
-                              name="loc_head")(x)
+            last = s == n - 1
+            if last and stage_fused(2 * x.shape[1]):
+                logits_map = fused_final_head(
+                    x,
+                    DecoderStage(cfg.loc_deconv_out[s], None, dtype=dtype,
+                                 deconv_impl=cfg.deconv_impl,
+                                 name=f"loc_stage{s + 1}"),
+                    HeadConv(cfg.head_hidden, 1, dtype=dtype,
+                             name="loc_head"))
+            else:
+                x = stage_cls(
+                    deconv_out=cfg.loc_deconv_out[s],
+                    conv_out=cfg.loc_conv_out[s] if s < n - 1 else None,
+                    dtype=dtype, deconv_impl=cfg.deconv_impl,
+                    fused=stage_fused(2 * x.shape[1]) and not last,
+                    name=f"loc_stage{s + 1}",
+                )(x, skip)
+                x = spatial_constraint(x)
+                if last:
+                    logits_map = HeadConv(cfg.head_hidden, 1, dtype=dtype,
+                                          name="loc_head")(x)
 
         b = logits_map.shape[0]
         logits = logits_map.reshape(b, -1)
@@ -169,16 +209,29 @@ class CVM(nn.Module):
             skip = skip_by_size.get(full_res * 2) if s < n - 1 else None
             if win and s >= n - 2 and skip is not None:
                 skip = _batch_crop(skip, r0 // 2, c0 // 2, win // 2)
-            y = stage_cls(
-                deconv_out=cfg.ori_deconv_out[s],
-                conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,
-                dtype=dtype, deconv_impl=cfg.deconv_impl,
-                name=f"ori_stage{s + 1}",
-            )(y, skip)
-            if not (win and s >= n - 2):
-                y = spatial_constraint(y)
-        ori = HeadConv(cfg.head_hidden, 2, dtype=dtype, name="ori_head")(y)
-        ori = l2_normalize(ori)   # per-pixel over (cos, sin) (models.py:341)
+            last = s == n - 1
+            if last and stage_fused(2 * y.shape[1]):
+                ori_raw = fused_final_head(
+                    y,
+                    DecoderStage(cfg.ori_deconv_out[s], None, dtype=dtype,
+                                 deconv_impl=cfg.deconv_impl,
+                                 name=f"ori_stage{s + 1}"),
+                    HeadConv(cfg.head_hidden, 2, dtype=dtype,
+                             name="ori_head"))
+            else:
+                y = stage_cls(
+                    deconv_out=cfg.ori_deconv_out[s],
+                    conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,
+                    dtype=dtype, deconv_impl=cfg.deconv_impl,
+                    fused=stage_fused(2 * y.shape[1]) and not last,
+                    name=f"ori_stage{s + 1}",
+                )(y, skip)
+                if not (win and s >= n - 2):
+                    y = spatial_constraint(y)
+                if last:
+                    ori_raw = HeadConv(cfg.head_hidden, 2, dtype=dtype,
+                                       name="ori_head")(y)
+        ori = l2_normalize(ori_raw)  # per-pixel over (cos, sin) (models.py:341)
 
         offsets = jnp.stack([r0, c0], axis=-1) if win else None
         return CVMOutput(logits, heatmap, ori, tuple(all_scores), offsets)

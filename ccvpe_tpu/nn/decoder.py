@@ -96,18 +96,59 @@ class HeadConv(nn.Module):
         return y.astype(jnp.float32)
 
 
+def pick_strip(hc: int, cap: int = 16) -> int:
+    """Largest power-of-two strip <= cap dividing hc (Pallas grid rows)."""
+    s = cap
+    while s > 1 and hc % s:
+        s //= 2
+    return s
+
+
+def materialized_params(mod: nn.Module, *dummy_args):
+    """Run `mod` on tiny dummy inputs to materialize its params (dead code
+    under jit, DCE'd by XLA; at init time it creates the params with the
+    exact same names/shapes/RNG paths as a real call), then return the
+    param subtree. Lets a parent compute with a child's weights directly
+    (fused kernels) while keeping the checkpoint tree identical."""
+    mod(*dummy_args)
+    return mod.variables["params"]
+
+
 class DecoderStage(nn.Module):
-    """One LMU stage: deconv -> optional skip concat -> double conv."""
+    """One LMU stage: deconv -> optional skip concat -> double conv.
+
+    fused=True routes the whole stage through the fused Pallas kernel
+    (ops/lmu_pallas.py): forward in one HBM pass, backward = XLA recompute
+    (custom VJP). Parameter tree is identical to the unfused path, so the
+    flag can be flipped on any checkpoint.
+    """
 
     deconv_out: int
     conv_out: Optional[int]   # None for the final stage (head applied outside)
     dtype: Any = jnp.float32
     deconv_impl: str = "einsum"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray]) -> jnp.ndarray:
-        x = Deconv2x2(self.deconv_out, dtype=self.dtype,
-                      impl=self.deconv_impl, name="deconv")(x)
+        deconv = Deconv2x2(self.deconv_out, dtype=self.dtype,
+                           impl=self.deconv_impl, name="deconv")
+        if self.fused and self.conv_out is not None:
+            from ccvpe_tpu.ops.lmu_pallas import fused_stage_diff
+            dp = materialized_params(deconv, x[:1, :2, :2])
+            cin = self.deconv_out + (0 if skip is None else skip.shape[-1])
+            conv = DoubleConv(self.conv_out, dtype=self.dtype, name="conv")
+            cp = materialized_params(
+                conv, jnp.zeros((1, 4, 4, cin), x.dtype))
+            y = fused_stage_diff(
+                x.astype(self.dtype), skip, dp["kernel"], dp["bias"],
+                cp["conv_a"]["kernel"], cp["conv_a"]["bias"],
+                cp["conv_b"]["kernel"], cp["conv_b"]["bias"],
+                pick_strip(x.shape[1]),
+                jax.default_backend() == "cpu")   # interpret mode on CPU
+                # (the TPU platform here registers as 'axon', ops/corr.py)
+            return y.astype(self.dtype)
+        x = deconv(x)
         if skip is not None:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         if self.conv_out is not None:

@@ -61,6 +61,65 @@ def test_fused_stage_bf16():
                                atol=0.05, rtol=0.05)
 
 
+@pytest.mark.parametrize("cskip,strip", [(3, 4), (0, 4), (3, 8)])
+def test_bwd_kernel_matches_reference_grads(cskip, strip):
+    """fused_stage_bwd_pallas (one-pass backward, in-kernel h/g recompute,
+    VMEM weight-grad accumulation across the grid) vs jax.grad of the jnp
+    reference chain."""
+    from ccvpe_tpu.ops.lmu_pallas import fused_stage_bwd_pallas
+
+    rng = np.random.default_rng(7)
+    x, skip, ws = _case(rng, 2, 8, 16, 7, 5, cskip, 6, 2)
+    dy = _mk(rng, 2, 16, 32, 2)
+
+    args = (x, skip, *ws) if cskip else (x, *ws)
+
+    def loss(*a):
+        if cskip:
+            xx, ss, *w = a
+        else:
+            (xx, *w), ss = a, None
+        return jnp.sum(fused_stage_reference(xx, ss, *w) * dy)
+
+    ref_grads = jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+    got = fused_stage_bwd_pallas(x, skip if cskip else None, dy, *ws[:5],
+                                 strip=strip, interpret=True)
+    dx, dskip, dwd, dbd, dw1, db1, dw2, db2 = got
+    if cskip:
+        rdx, rdskip, rdwd, rdbd, rdw1, rdb1, rdw2, rdb2 = ref_grads
+        np.testing.assert_allclose(np.asarray(dskip), np.asarray(rdskip),
+                                   atol=2e-4, rtol=2e-4)
+    else:
+        rdx, rdwd, rdbd, rdw1, rdb1, rdw2, rdb2 = ref_grads
+        assert dskip is None
+    for a, b in [(dx, rdx), (dwd, rdwd), (dbd, rdbd), (dw1, rdw1),
+                 (db1, rdb1), (dw2, rdw2), (db2, rdb2)]:
+        scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-4)
+
+
+def test_fused_stage_diff_pallas_bwd_end_to_end():
+    """grad through fused_stage_diff with bwd_impl='pallas' == reference."""
+    from ccvpe_tpu.ops.lmu_pallas import fused_stage_diff
+
+    rng = np.random.default_rng(8)
+    x, skip, ws = _case(rng, 1, 8, 8, 5, 4, 3, 6, 2)
+
+    def loss_k(x, skip, *ws):
+        return jnp.sum(fused_stage_diff(x, skip, *ws, 4, True, "pallas") ** 2)
+
+    def loss_r(x, skip, *ws):
+        return jnp.sum(fused_stage_reference(x, skip, *ws) ** 2)
+
+    gk = jax.grad(loss_k, argnums=tuple(range(8)))(x, skip, *ws)
+    gr = jax.grad(loss_r, argnums=tuple(range(8)))(x, skip, *ws)
+    for a, b in zip(gk, gr):
+        scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-4)
+
+
 def test_depth_to_space_layout():
     """Channel (di*2+dj)*Cout + c of the phase tensor lands at fine pixel
     (2i+di, 2j+dj, c)."""

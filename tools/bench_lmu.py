@@ -101,6 +101,49 @@ def main():
 
         xla = jax.jit(xla_chain)
 
+        # fwd+bwd (the train-relevant path): value+grad wrt x and weights,
+        # Pallas fwd + Pallas one-pass bwd vs Pallas fwd + XLA recompute bwd
+        # vs the plain XLA chain's native autodiff
+        from ccvpe_tpu.ops.lmu_pallas import fused_stage_diff
+
+        def make_loss(stage_fn):
+            def loss(x, s, *w):
+                out = stage_fn(x, s, *w)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return jax.jit(jax.grad(loss, argnums=(0, 2, 3, 4, 5, 6, 7)))
+
+        g_pallas = make_loss(lambda x, s, *w: fused_stage_diff(
+            x, s, *w, strip, False, "pallas"))
+        g_xlabwd = make_loss(lambda x, s, *w: fused_stage_diff(
+            x, s, *w, strip, False, "xla"))
+        g_chain = make_loss(lambda x, s, *w: xla_chain_w(x, s, *w))
+
+        def timed_tuple(fn, iters=10):
+            out = fn(x, skip, wd, bd, w1, b1, w2, b2)
+            float(jax.device_get(jnp.sum(out[0].astype(jnp.float32))))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(x, skip, wd, bd, w1, b1, w2, b2)
+            float(jax.device_get(jnp.sum(out[0].astype(jnp.float32))))
+            return (time.perf_counter() - t0) / iters
+
+        def xla_chain_w(x, s, wd, bd, w1, b1, w2, b2):
+            y = jax.lax.conv_transpose(
+                x, wd[::-1, ::-1].astype(dt), (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bd
+            y = y.astype(dt)
+            if s is not None:
+                y = jnp.concatenate([y, s], axis=-1)
+            y = jax.lax.conv_general_dilated(
+                y, w1.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32) + b1
+            y = jnp.maximum(y, 0.0).astype(dt)
+            return jax.lax.conv_general_dilated(
+                y, w2.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32) + b2
+
         # parity at bf16 tolerance vs the f32 reference
         sl = (slice(None), slice(0, 8))
         ref = fused_stage_reference(
@@ -120,6 +163,24 @@ def main():
         print(f"{name}\n  fused {t_fused*1e3:8.2f} ms (rel err {err_f:.1e})"
               f"   xla {t_xla*1e3:8.2f} ms (rel err {err_x:.1e})"
               f"   speedup {t_xla/t_fused:4.2f}x   in-bytes {gb:.2f} GB",
+              flush=True)
+
+        # on-device grad parity (scalar fetch): pallas-bwd vs chain autodiff
+        gp = g_pallas(x, skip, wd, bd, w1, b1, w2, b2)
+        gc = g_chain(x, skip, wd, bd, w1, b1, w2, b2)
+        rel = jax.jit(lambda a, b: sum(
+            jnp.max(jnp.abs(p.astype(jnp.float32) - q.astype(jnp.float32)))
+            / (jnp.max(jnp.abs(q.astype(jnp.float32))) + 1e-9)
+            for p, q in zip(a, b)) / len(a))(gp, gc)
+        rel = float(jax.device_get(rel))
+
+        tg_p = timed_tuple(g_pallas)
+        tg_x = timed_tuple(g_xlabwd)
+        tg_c = timed_tuple(g_chain)
+        print(f"  grad: pallas-bwd {tg_p*1e3:8.2f} ms"
+              f"   xla-recompute-bwd {tg_x*1e3:8.2f} ms"
+              f"   xla-chain {tg_c*1e3:8.2f} ms"
+              f"   speedup {tg_c/tg_p:4.2f}x   mean-rel-err {rel:.1e}",
               flush=True)
 
 
