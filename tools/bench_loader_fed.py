@@ -33,8 +33,10 @@ import numpy as np
 
 
 def make_corpus(root: str, n_pano=96, n_sat=24):
-    """Synthetic VIGOR-layout JPEG corpus (one city); random-noise images so
-    JPEG decode cost is realistic."""
+    """Synthetic VIGOR-layout JPEG corpus; random-noise images so JPEG
+    decode cost is realistic. VIGORDataset loads the reference's fixed
+    4-city list (data/vigor.py:76), so the other three cities are symlinks
+    to the NewYork image dirs with their own (identical) split files."""
     import PIL.Image
     if os.path.exists(os.path.join(root, "done")):
         return
@@ -64,6 +66,15 @@ def make_corpus(root: str, n_pano=96, n_sat=24):
     with open(os.path.join(root, "splits_new", city,
                            "same_area_balanced_train.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
+    for other in ("Seattle", "SanFrancisco", "Chicago"):
+        os.makedirs(os.path.join(root, "splits_new", other), exist_ok=True)
+        for fname in ("satellite_list.txt", "same_area_balanced_train.txt"):
+            src = os.path.join(root, "splits_new", city, fname)
+            dst = os.path.join(root, "splits_new", other, fname)
+            if not os.path.exists(dst):
+                os.link(src, dst)
+        if not os.path.exists(os.path.join(root, other)):
+            os.symlink(os.path.join(root, city), os.path.join(root, other))
     with open(os.path.join(root, "done"), "w") as f:
         f.write("ok")
 
