@@ -5,6 +5,13 @@ Per case: parity check (max |delta| vs the f32 jnp reference) + timing of
 both implementations with value-fetch sync. The north-star gate
 (VERDICT r2 #2): ship the kernel if >= 1.15x stage-level; otherwise these
 numbers ARE the documented waiver.
+
+Measured r3 (docs/PERFORMANCE.md "Fused LMU"): fwd 0.12x (stage6+head) and
+0.35x (stage5) vs XLA - the waiver stands. Known issue: the grad-timing
+section trips a bf16/f32 mixed-dtype error inside the vjp of the comparison
+chain on-device (conv_general_dilated dtype check); fwd timings and the
+fwd/bwd kernels' on-chip parity (via /tmp/chip_lmu_check-style runs) are
+unaffected.
 """
 
 import argparse
