@@ -626,22 +626,25 @@ def _xla_chain(x, skip, wd, bd, w1, b1, w2, b2):
     """The stage as plain XLA ops at the SAME precision policy as the kernel
     (activations in x.dtype, f32 accumulation, f32 output) - used as the
     backward-pass recompute graph for `fused_stage_diff` (bwd_impl='xla')."""
+    # The same precision policy as the kernel: values are rounded to x.dtype
+    # between stages, accumulation is f32. Convs run with BOTH operands f32
+    # (not bf16 + preferred_element_type=F32: that mix is not differentiable
+    # - the f32 cotangent meets the bf16 operand inside the VJP's conv and
+    # lax.conv_general_dilated rejects mixed dtypes).
     dt = x.dtype
     y = jax.lax.conv_transpose(
-        x, wd[::-1, ::-1].astype(dt), (2, 2), "VALID",
+        x.astype(F32), wd[::-1, ::-1].astype(F32), (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + bd
     y = y.astype(dt)
     if skip is not None:
         y = jnp.concatenate([y, skip.astype(dt)], axis=-1)
     y = jax.lax.conv_general_dilated(
-        y, w1.astype(dt), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=F32) + b1
+        y.astype(F32), w1.astype(F32), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
     y = jnp.maximum(y, 0.0).astype(dt)
     y = jax.lax.conv_general_dilated(
-        y, w2.astype(dt), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=F32) + b2
+        y.astype(F32), w2.astype(F32), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
     return y
 
 

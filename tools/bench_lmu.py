@@ -7,11 +7,7 @@ both implementations with value-fetch sync. The north-star gate
 numbers ARE the documented waiver.
 
 Measured r3 (docs/PERFORMANCE.md "Fused LMU"): fwd 0.12x (stage6+head) and
-0.35x (stage5) vs XLA - the waiver stands. Known issue: the grad-timing
-section trips a bf16/f32 mixed-dtype error inside the vjp of the comparison
-chain on-device (conv_general_dilated dtype check); fwd timings and the
-fwd/bwd kernels' on-chip parity (via /tmp/chip_lmu_check-style runs) are
-unaffected.
+0.35x (stage5) vs XLA - the waiver stands.
 """
 
 import argparse
@@ -143,21 +139,24 @@ def run_case(args, i):
             return (time.perf_counter() - t0) / iters
 
         def xla_chain_w(x, s, wd, bd, w1, b1, w2, b2):
+            # f32 convs on bf16-rounded values: bf16 operands with
+            # preferred_element_type=f32 are NOT differentiable (the VJP's
+            # conv mixes the f32 cotangent with the bf16 operand) - same
+            # policy as ops/lmu_pallas.py::_xla_chain
+            f32 = jnp.float32
             y = jax.lax.conv_transpose(
-                x, wd[::-1, ::-1].astype(dt), (2, 2), "VALID",
+                x.astype(f32), wd[::-1, ::-1].astype(f32), (2, 2), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + bd
             y = y.astype(dt)
             if s is not None:
-                y = jnp.concatenate([y, s], axis=-1)
+                y = jnp.concatenate([y, s.astype(dt)], axis=-1)
             y = jax.lax.conv_general_dilated(
-                y, w1.astype(dt), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32) + b1
+                y.astype(f32), w1.astype(f32), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
             y = jnp.maximum(y, 0.0).astype(dt)
             return jax.lax.conv_general_dilated(
-                y, w2.astype(dt), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32) + b2
+                y.astype(f32), w2.astype(f32), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
 
         # parity at bf16 tolerance vs the f32 reference
         sl = (slice(None), slice(0, 8))
