@@ -113,6 +113,21 @@ class ModelConfig:
     # would be replicated by GSPMD, not partitioned).
     lmu_fused_min_res: int = 0
 
+    # --- phase-space (space-to-depth) fine decoder stages ---
+    # 0 = off. Otherwise decoder stages (and the final stage + head convs)
+    # whose OUTPUT fine resolution is >= this value are computed in
+    # lane-friendly phase space, in pure XLA (nn/decoder.py::DecoderStage):
+    # the deconv2x2 emits a [B, H, W, 4*C] phase-packed map directly (one
+    # matmul, the fine map is never materialized), the two 3x3 convs run as
+    # one 2x2 conv over packed channels per output phase, and only the
+    # stage output is unpacked to fine NHWC. This keeps the lane dim of
+    # every fine-stage tensor at 4*C (>= 64) instead of C (16..40), which
+    # is where XLA's conv emitter was measured at 77-90 GB/s effective of
+    # the 819 GB/s HBM peak (docs/PERFORMANCE.md). Numerically identical
+    # (same params; tests/test_decoder_impl.py); 256 covers the two finest
+    # stages of both decoders. Composes with remat and ori_window.
+    phase_space_min_res: int = 0
+
     # --- train-time orientation-decoder windowing ---
     # The orientation loss weights the (cos, sin) field by the sigma=4 GT
     # Gaussian (losses.py:28-29), which UNDERFLOWS TO EXACTLY ZERO in f32

@@ -115,6 +115,18 @@ class CVM(nn.Module):
         def stage_fused(res_out: int) -> bool:
             return bool(fuse_min) and res_out >= fuse_min
 
+        # Phase-space fine stages (ops/phase_space.py): stages whose output
+        # fine resolution >= cfg.phase_space_min_res run on 2x2 packed
+        # [B, H/2, W/2, 4C] layouts in pure XLA; the final stage hands its
+        # packed deconv output straight to a packed HeadConv.
+        phase_min = cfg.phase_space_min_res
+        if phase_min:
+            assert not fuse_min, \
+                "phase_space_min_res and lmu_fused_min_res are exclusive"
+
+        def stage_phase(res_out: int) -> bool:
+            return bool(phase_min) and res_out >= phase_min
+
         def fused_final_head(z, stage_mod, head_mod):
             from ccvpe_tpu.nn.decoder import materialized_params, pick_strip
             from ccvpe_tpu.ops.lmu_pallas import fused_stage_diff
@@ -171,16 +183,19 @@ class CVM(nn.Module):
                     HeadConv(cfg.head_hidden, 1, dtype=dtype,
                              name="loc_head"))
             else:
+                phase_s = stage_phase(2 * x.shape[1])
                 x = stage_cls(
                     deconv_out=cfg.loc_deconv_out[s],
                     conv_out=cfg.loc_conv_out[s] if s < n - 1 else None,
                     dtype=dtype, deconv_impl=cfg.deconv_impl,
                     fused=stage_fused(2 * x.shape[1]) and not last,
+                    phase=phase_s,
                     name=f"loc_stage{s + 1}",
                 )(x, skip)
                 x = spatial_constraint(x)
                 if last:
                     logits_map = HeadConv(cfg.head_hidden, 1, dtype=dtype,
+                                          packed=phase_s,
                                           name="loc_head")(x)
 
         b = logits_map.shape[0]
@@ -219,17 +234,20 @@ class CVM(nn.Module):
                     HeadConv(cfg.head_hidden, 2, dtype=dtype,
                              name="ori_head"))
             else:
+                phase_s = stage_phase(2 * y.shape[1])
                 y = stage_cls(
                     deconv_out=cfg.ori_deconv_out[s],
                     conv_out=cfg.ori_conv_out[s] if s < n - 1 else None,
                     dtype=dtype, deconv_impl=cfg.deconv_impl,
                     fused=stage_fused(2 * y.shape[1]) and not last,
+                    phase=phase_s,
                     name=f"ori_stage{s + 1}",
                 )(y, skip)
                 if not (win and s >= n - 2):
                     y = spatial_constraint(y)
                 if last:
                     ori_raw = HeadConv(cfg.head_hidden, 2, dtype=dtype,
+                                       packed=phase_s,
                                        name="ori_head")(y)
         ori = l2_normalize(ori_raw)  # per-pixel over (cos, sin) (models.py:341)
 

@@ -80,20 +80,40 @@ class DoubleConv(nn.Module):
 
 class HeadConv(nn.Module):
     """Final head: Conv3x3 -> ReLU -> Conv3x3 to out channels
-    (models.py:125-127 loc, :146-148 ori)."""
+    (models.py:125-127 loc, :146-148 ori).
+
+    packed=True consumes a phase-packed [B, H, W, 4*cin] map (the final
+    DecoderStage's phase-space deconv output), runs both convs packed
+    (ops/phase_space.py), and unpacks only the tiny output — the 2x-res
+    16-channel intermediate never hits HBM in fine layout. Same params.
+    """
 
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv_a")(x)
+        conv_a = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype,
+                         name="conv_a")
+        conv_b = nn.Conv(self.out, (3, 3), padding=1, dtype=self.dtype,
+                         name="conv_b")
+        if self.packed:
+            from ccvpe_tpu.ops.phase_space import (conv3x3_packed,
+                                                   depth_to_space)
+            cin = x.shape[-1] // 4
+            pa = materialized_params(conv_a,
+                                     jnp.zeros((1, 4, 4, cin), x.dtype))
+            pb = materialized_params(
+                conv_b, jnp.zeros((1, 4, 4, self.hidden), x.dtype))
+            g = conv3x3_packed(x.astype(self.dtype), pa["kernel"],
+                               pa["bias"]).astype(self.dtype)
+            y = conv3x3_packed(nn.relu(g), pb["kernel"], pb["bias"])
+            return depth_to_space(y, self.out).astype(jnp.float32)
+        x = conv_a(x)
         x = nn.relu(x)
-        y = nn.Conv(self.out, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv_b")(x)
-        return y.astype(jnp.float32)
+        return conv_b(x).astype(jnp.float32)
 
 
 def pick_strip(hc: int, cap: int = 16) -> int:
@@ -117,10 +137,20 @@ def materialized_params(mod: nn.Module, *dummy_args):
 class DecoderStage(nn.Module):
     """One LMU stage: deconv -> optional skip concat -> double conv.
 
-    fused=True routes the whole stage through the fused Pallas kernel
-    (ops/lmu_pallas.py): forward in one HBM pass, backward = XLA recompute
-    (custom VJP). Parameter tree is identical to the unfused path, so the
-    flag can be flipped on any checkpoint.
+    phase=True computes the stage in phase space, pure XLA
+    (ops/phase_space.py): the fine map stays 2x2 space-to-depth packed
+    (lane dim 4C instead of C), and only the result is unpacked — except
+    for the final stage (conv_out=None), which returns the PACKED deconv
+    output for a packed HeadConv.
+
+    fused=True instead routes the stage through the fused Pallas kernel
+    (ops/lmu_pallas.py; measured slower than XLA at these channel counts,
+    kept as the documented waiver artifact — default backward is the
+    Pallas one-pass kernel, bwd_impl='pallas', with XLA recompute as the
+    cross-check path).
+
+    Parameter tree is identical for all three paths, so the flags can be
+    flipped on any checkpoint.
     """
 
     deconv_out: int
@@ -128,11 +158,29 @@ class DecoderStage(nn.Module):
     dtype: Any = jnp.float32
     deconv_impl: str = "einsum"
     fused: bool = False
+    phase: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray]) -> jnp.ndarray:
         deconv = Deconv2x2(self.deconv_out, dtype=self.dtype,
                            impl=self.deconv_impl, name="deconv")
+        if self.phase:
+            from ccvpe_tpu.ops.phase_space import phase_stage
+            dp = materialized_params(deconv, x[:1, :2, :2])
+            if self.conv_out is None:
+                assert skip is None, "final stage carries no skip"
+                return phase_stage(x, None, dp["kernel"], dp["bias"],
+                                   None, None, None, None,
+                                   dtype=self.dtype, unpack=False)
+            cin = self.deconv_out + (0 if skip is None else skip.shape[-1])
+            conv = DoubleConv(self.conv_out, dtype=self.dtype, name="conv")
+            cp = materialized_params(
+                conv, jnp.zeros((1, 4, 4, cin), x.dtype))
+            return phase_stage(
+                x, skip, dp["kernel"], dp["bias"],
+                cp["conv_a"]["kernel"], cp["conv_a"]["bias"],
+                cp["conv_b"]["kernel"], cp["conv_b"]["bias"],
+                dtype=self.dtype)
         if self.fused and self.conv_out is not None:
             from ccvpe_tpu.ops.lmu_pallas import fused_stage_diff
             dp = materialized_params(deconv, x[:1, :2, :2])

@@ -26,14 +26,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_step(batch, dtype="float32"):
+def build_step(batch, dtype="float32", ori_window=0, remat_skip=0,
+               phase_space=0):
     import dataclasses
 
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
     model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
-                                    deconv_impl="conv", compute_dtype=dtype)
+                                    deconv_impl="conv", compute_dtype=dtype,
+                                    ori_window=ori_window,
+                                    remat_skip_blocks=remat_skip,
+                                    phase_space_min_res=phase_space)
     train_cfg = cfg_lib.TrainConfig(batch_size=batch)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
@@ -134,6 +138,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--ori-window", type=int, default=0)
+    ap.add_argument("--remat-skip", type=int, default=0)
+    ap.add_argument("--phase-space", type=int, default=0)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="/tmp/ccvpe_trace")
     ap.add_argument("--top", type=int, default=40)
@@ -141,7 +148,8 @@ def main():
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
-    step, state, data = build_step(args.batch, args.dtype)
+    step, state, data = build_step(args.batch, args.dtype, args.ori_window,
+                                   args.remat_skip, args.phase_space)
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
