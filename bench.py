@@ -33,14 +33,20 @@ TORCH_CPU_PAIRS_PER_S = 0.0432
 # rematerialization with the first blocks stored (remat_skip), train-time
 # orientation-decoder GT windowing (gradient-exact, tests/test_ori_window.py),
 # deconv_impl='conv' (avoids the einsum variant's 6-D padded temporaries),
-# batch 80 (96/128 exceed the remote compile helper's limits). Every knob is
-# env-overridable for A/B runs (BENCH_<NAME>).
-BATCH = int(os.environ.get("BENCH_BATCH", 80))
+# phase-space fine decoder stages (ops/phase_space.py), batch 80 (96/128
+# exceed the remote compile helper's limits). Every knob is env-overridable
+# for A/B runs (BENCH_<NAME>); BENCH_PRESET selects the workload (vigor /
+# kitti / oxford) with per-preset measured-optimal batch defaults.
+PRESET = os.environ.get("BENCH_PRESET", "vigor")
+_DEFAULT_BATCH = {"vigor": 80, "kitti": 48, "oxford": 96}
+BATCH = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH.get(PRESET, 32)))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 REMAT_SKIP = int(os.environ.get("BENCH_REMAT_SKIP", 2))
 ORI_WINDOW = int(os.environ.get("BENCH_ORI_WINDOW", 224))
 LMU_FUSED_MIN_RES = int(os.environ.get("BENCH_LMU_FUSED", 0))
+PHASE_SPACE = int(os.environ.get("BENCH_PHASE_SPACE", 0))
 CORR_IMPL = os.environ.get("BENCH_CORR", "auto")
+CORR_BF16 = int(os.environ.get("BENCH_CORR_BF16", 0))
 WARMUP = 5
 ITERS = 30
 
@@ -51,12 +57,15 @@ def main():
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
-    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
+    model_cfg = dataclasses.replace(cfg_lib.get_model_config(PRESET),
+                                    remat_backbone=True,
                                     deconv_impl="conv", compute_dtype=DTYPE,
                                     remat_skip_blocks=REMAT_SKIP,
                                     ori_window=ORI_WINDOW,
                                     lmu_fused_min_res=LMU_FUSED_MIN_RES,
-                                    corr_impl=CORR_IMPL)
+                                    phase_space_min_res=PHASE_SPACE,
+                                    corr_impl=CORR_IMPL,
+                                    corr_bf16=bool(CORR_BF16))
     train_cfg = cfg_lib.TrainConfig(batch_size=BATCH)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
@@ -92,7 +101,7 @@ def main():
 
     pairs_per_s = BATCH / dt
     print(json.dumps({
-        "metric": "vigor_train_pairs_per_chip_per_s",
+        "metric": f"{PRESET}_train_pairs_per_chip_per_s",
         "value": round(pairs_per_s, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / TORCH_CPU_PAIRS_PER_S, 2),

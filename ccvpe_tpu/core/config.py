@@ -66,6 +66,12 @@ class ModelConfig:
     # 'xla', or 'pallas'
     corr_impl: str = "auto"
 
+    # keep bfloat16 operands in the fine-scale correlation einsums when the
+    # activations are bf16 (f32 accumulation via preferred_element_type) -
+    # halves the score-input read traffic (ops/corr.py::rolled_corr
+    # allow_bf16). Default off = strict-parity f32 operands.
+    corr_bf16: bool = False
+
     # deconv implementation: 'einsum' (matmul + block reshape) or 'conv'
     # (native lax.conv_transpose) - numerically identical, same param layout;
     # see nn/decoder.py::Deconv2x2
@@ -105,8 +111,14 @@ class ModelConfig:
     # 0 = off. Otherwise route decoder stages (and the final stage + head
     # convs) whose OUTPUT fine resolution >= this value through the fused
     # Pallas kernel: deconv2x2 + skip concat + conv3x3 + relu + conv3x3 in
-    # one HBM pass (forward), XLA-recompute backward (custom VJP, remat
-    # semantics). 256 fuses the two finest stages of both decoders + heads.
+    # one HBM pass (forward); the default backward is the Pallas one-pass
+    # kernel (custom VJP, bwd_impl='pallas', remat semantics with no HBM
+    # re-traffic), with XLA recompute as the cross-check path.
+    # 256 fuses the two finest stages of both decoders + heads.
+    # MEASURED SLOWER than XLA at this model family's channel counts
+    # (docs/PERFORMANCE.md "Fused LMU"); kept as the documented waiver
+    # artifact. For the production fine-stage speedup use
+    # phase_space_min_res below instead.
     # Parameter tree is unchanged - flip freely on any checkpoint. Runs on
     # single-device TPU; on CPU backends the kernel runs in interpret mode
     # (tests). Not compatible with spatial_axis sharding (the pallas_call

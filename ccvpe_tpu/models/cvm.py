@@ -148,6 +148,7 @@ class CVM(nn.Module):
                 num_bins=cfg.num_bins, center=cfg.center_window, bins=bins,
                 impl=cfg.corr_impl,
                 ori_axis=None if initializing else cfg.ori_axis,
+                allow_bf16=cfg.corr_bf16,
             )
 
         # --- bottleneck matching ---

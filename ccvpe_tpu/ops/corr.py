@@ -70,6 +70,7 @@ def rolled_corr(
     bins: Optional[Sequence[int]] = None,
     eps: float = 0.0,
     ori_axis: Optional[str] = None,
+    allow_bf16: bool = False,
 ) -> jnp.ndarray:
     """Cosine-similarity matching scores for all orientation bins.
 
@@ -91,12 +92,26 @@ def rolled_corr(
         inside - downstream reduces over K insert the combine). Requires an
         ambient mesh (jax.set_mesh) carrying the axis.
 
+      allow_bf16: keep bfloat16 einsum OPERANDS when sat arrives bf16
+        (accumulation stays f32 via preferred_element_type) instead of
+        upcasting - halves the read traffic of the fine-scale score inputs
+        (the 256^2 x 40 / 128^2 x 80 maps, r3 verdict item 4). The bf16
+        products are exact in the f32 accumulator (sat is already
+        bf16-valued in the mixed-precision step), only the squared map for
+        the denominator rounds once more (~2^-9 relative per term).
+        Default off: f32 operands, the strict-parity path.
+
     Returns: [B, h, w, K] scores, K = len(bins) if given else num_bins.
     """
     if bins is None:
         bins = tuple(range(num_bins))
-    sat = sat.astype(jnp.float32)   # cosine scores are precision-sensitive
+    keep_bf16 = allow_bf16 and sat.dtype == jnp.bfloat16
     grd = grd.astype(jnp.float32)
+    g_norm = jnp.linalg.norm(grd, axis=-1)  # [B] (always f32)
+    if keep_bf16:
+        grd = grd.astype(jnp.bfloat16)
+    else:
+        sat = sat.astype(jnp.float32)  # cosine scores are precision-sensitive
     total_dim = sat.shape[-1]
     g_mat, m_mat = build_roll_matrices(grd, total_dim, shift, bins, center)
     if ori_axis is not None:
@@ -115,7 +130,6 @@ def rolled_corr(
                      preferred_element_type=jnp.float32)
     den_sq = jnp.einsum("bhwd,kd->bhwk", jnp.square(sat), m_mat,
                         preferred_element_type=jnp.float32)
-    g_norm = jnp.linalg.norm(grd, axis=-1)  # [B]
     den = jnp.sqrt(den_sq) * g_norm[:, None, None, None]
     out = num / (den + eps)
     if ori_axis is not None:
@@ -134,6 +148,7 @@ def rolled_corr_dispatch(
     bins: Optional[Sequence[int]] = None,
     impl: str = "auto",
     ori_axis: Optional[str] = None,
+    allow_bf16: bool = False,
 ) -> jnp.ndarray:
     """Select the fused Pallas kernel on TPU backends, the XLA matmul
     formulation elsewhere (CPU tests, interpret-unfriendly contexts).
@@ -148,7 +163,7 @@ def rolled_corr_dispatch(
     """
     if ori_axis is not None:
         return rolled_corr(sat, grd, shift, num_bins, center, bins,
-                           ori_axis=ori_axis)
+                           ori_axis=ori_axis, allow_bf16=allow_bf16)
     if impl == "auto":
         if jax.default_backend() == "cpu" or sat.shape[-1] < 128:
             impl = "xla"
@@ -157,7 +172,8 @@ def rolled_corr_dispatch(
     if impl == "pallas":
         from ccvpe_tpu.ops.corr_pallas import rolled_corr_pallas
         return rolled_corr_pallas(sat, grd, shift, num_bins, center, bins)
-    return rolled_corr(sat, grd, shift, num_bins, center, bins)
+    return rolled_corr(sat, grd, shift, num_bins, center, bins,
+                       allow_bf16=allow_bf16)
 
 
 def rolled_corr_bin_sharded(

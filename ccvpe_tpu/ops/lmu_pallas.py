@@ -20,7 +20,8 @@ h[di][dj] = x @ wd[di, dj] - pure MXU matmuls, no interleaving. The 3x3
 convs are evaluated per OUTPUT phase as 9 tap-matmuls against coarse-shifted
 phase planes (fine shift dy maps to phase (pi+dy-1) mod 2 and coarse row
 shift (pi+dy-1)//2 in {-1, 0, 1}). The skip connection is phase-split in
-XLA (`space_to_depth`) and fed as 4 coarse planes; instead of concatenating
+XLA (`_phase_major`; the packed-channel equivalent lives in
+ops/phase_space.py::space_to_depth) and fed as 4 coarse planes; instead of concatenating
 [deconv | skip] on the channel dim (an unaligned-lane concat Mosaic dislikes)
 conv_a's weight matrix is SPLIT into its deconv rows and skip rows and the
 two tap-matmul sets are summed - numerically identical.
@@ -65,22 +66,8 @@ F32 = jnp.float32
 # layout helpers (XLA side)
 # ---------------------------------------------------------------------------
 
-def depth_to_space(y: jnp.ndarray, cout: int) -> jnp.ndarray:
-    """[B, H, W, 2*2*Cout] phase layout -> [B, 2H, 2W, Cout] NHWC.
-    Channel index is (di*2 + dj)*Cout + c."""
-    b, h, w, _ = y.shape
-    y = y.reshape(b, h, w, 2, 2, cout)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(b, 2 * h, 2 * w, cout)
-
-
-def space_to_depth(y: jnp.ndarray) -> jnp.ndarray:
-    """[B, 2H, 2W, C] NHWC -> [B, H, W, 2*2*C] phase layout (inverse of
-    `depth_to_space`: channel index = (di*2 + dj)*C + c)."""
-    b, h2, w2_, c = y.shape
-    y = y.reshape(b, h2 // 2, 2, w2_ // 2, 2, c)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(b, h2 // 2, w2_ // 2, 4 * c)
+from ccvpe_tpu.ops.phase_space import (  # noqa: F401  (re-export)
+    depth_to_space, space_to_depth)
 
 
 def _phase_major(fine: jnp.ndarray) -> jnp.ndarray:
@@ -507,7 +494,7 @@ def _fused_stage_bwd_kernel(xb, xh, sb, sh, dyb, dyh, wd, w1d, w1s, w2,
                         for pi in range(2) for pj in range(2))[None]
 
 
-def fused_stage_bwd_pallas(x, skip, dy, wd, bd, w1, b1, w2,
+def fused_stage_bwd_pallas(x, skip, dy, wd, bd, w1, b1, w2, b2,
                            strip=16, interpret=False):
     """Pallas backward for `fused_stage`. Returns
     (dx, dskip, dwd, dbd, dw1, db1, dw2, db2); dskip is None without skip.
@@ -615,7 +602,7 @@ def fused_stage_bwd_pallas(x, skip, dy, wd, bd, w1, b1, w2,
         dw1 = dw1d
     return (dx, dskip, dwd.astype(wd.dtype), dbd[0].astype(bd.dtype),
             dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
-            dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -675,7 +662,7 @@ def _fused_stage_fwd(x, skip, wd, bd, w1, b1, w2, b2, strip, interpret,
 def _fused_stage_bwd(strip, interpret, bwd_impl, res, g):
     x, skip, wd, bd, w1, b1, w2, b2 = res
     if bwd_impl == "pallas":
-        return fused_stage_bwd_pallas(x, skip, g, wd, bd, w1, b1, w2,
+        return fused_stage_bwd_pallas(x, skip, g, wd, bd, w1, b1, w2, b2,
                                       strip=strip, interpret=interpret)
     if skip is None:
         def f(x, wd, bd, w1, b1, w2, b2):

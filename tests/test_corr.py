@@ -91,3 +91,27 @@ def test_scores_are_cosines(rng):
         / (jnp.linalg.norm(sat, axis=-1) * jnp.linalg.norm(grd, axis=-1)[:, None, None])
     )
     np.testing.assert_allclose(s[..., 0], cos, atol=2e-5)
+
+
+def test_rolled_corr_allow_bf16_close_to_f32():
+    """allow_bf16 (r4: bf16 einsum operands, f32 accumulation) must track
+    the f32 path within bf16 input-rounding tolerance - the operands are
+    already bf16-valued in the mixed-precision step, so the only extra
+    rounding is the squared map for the denominator."""
+    import jax.numpy as jnp
+
+    from ccvpe_tpu.ops.corr import rolled_corr
+
+    r = np.random.default_rng(5)
+    sat = jnp.asarray(r.normal(size=(2, 8, 8, 40)).astype(np.float32))
+    grd = jnp.asarray(r.normal(size=(2, 40)).astype(np.float32))
+    ref = rolled_corr(sat, grd, shift=2, num_bins=20)
+    got = rolled_corr(sat.astype(jnp.bfloat16), grd, shift=2, num_bins=20,
+                      allow_bf16=True)
+    assert got.dtype == jnp.float32
+    # unit-scale cosine scores; bf16 inputs round at ~2^-9
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=8e-3)
+    # and with f32 inputs the flag must be a no-op (strict parity)
+    same = rolled_corr(sat, grd, shift=2, num_bins=20, allow_bf16=True)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(ref))

@@ -1,7 +1,9 @@
 """Fused LMU decoder wiring (ModelConfig.lmu_fused_min_res): the Pallas
 kernel path (interpret mode on CPU) must be a drop-in for the XLA stage
 chain - identical param tree, matching outputs, matching gradients (the
-custom VJP recomputes the stage via XLA, so grads agree to fp tolerance).
+custom VJP's default backward is the Pallas one-pass kernel,
+bwd_impl='pallas'; the XLA-recompute variant is the cross-check path -
+either way grads agree with the plain chain to fp tolerance).
 
 Reference chain being fused: models.py:108-127 (deconv/double_conv defs) and
 :125-127 (deconv1 -> conv1 head), the fattest HBM traffic of the step.

@@ -82,7 +82,7 @@ def test_bwd_kernel_matches_reference_grads(cskip, strip):
         return jnp.sum(fused_stage_reference(xx, ss, *w) * dy)
 
     ref_grads = jax.grad(loss, argnums=tuple(range(len(args))))(*args)
-    got = fused_stage_bwd_pallas(x, skip if cskip else None, dy, *ws[:5],
+    got = fused_stage_bwd_pallas(x, skip if cskip else None, dy, *ws,
                                  strip=strip, interpret=True)
     dx, dskip, dwd, dbd, dw1, db1, dw2, db2 = got
     if cskip:

@@ -108,6 +108,7 @@ def make_stage(case, impl):
 
 
 CASES = {
+    "loc4": dict(hw=64, cin=161, cd=80, cs=40, ca=80, cout=80),
     "loc5": dict(hw=128, cin=81, cd=40, cs=16, ca=40, cout=40),
     "loc6": dict(hw=256, cin=41, cd=16, cs=0, ca=16, cout=1),
     "ori5": dict(hw=56, cin=64, cd=32, cs=16, ca=32, cout=32),

@@ -34,7 +34,7 @@ def parse_config(s):
     out = {"batch": 32, "remat_backbone": 1, "remat_decoder": 0,
            "dtype": "float32", "preset": "vigor", "deconv": "einsum",
            "flatten": 1, "accum": 1, "remat_skip": 0, "corr": "auto",
-           "ori_window": 0, "lmu": 0}
+           "ori_window": 0, "lmu": 0, "phase": 0, "corr_bf16": 0}
     for kv in s.split(","):
         k, v = kv.split("=")
         out[k] = v if k in ("dtype", "preset", "deconv", "corr") else int(v)
@@ -52,6 +52,8 @@ def run_one(cfg, warmup=5, iters=30):
         remat_skip_blocks=cfg["remat_skip"],
         ori_window=cfg["ori_window"],
         lmu_fused_min_res=cfg["lmu"],
+        phase_space_min_res=cfg["phase"],
+        corr_bf16=bool(cfg["corr_bf16"]),
         deconv_impl=cfg["deconv"],
         corr_impl=cfg["corr"],
         compute_dtype=cfg["dtype"])
