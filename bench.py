@@ -42,6 +42,7 @@ _DEFAULT_BATCH = {"vigor": 80, "kitti": 48, "oxford": 96}
 BATCH = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH.get(PRESET, 32)))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 REMAT_SKIP = int(os.environ.get("BENCH_REMAT_SKIP", 2))
+REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "none")
 ORI_WINDOW = int(os.environ.get("BENCH_ORI_WINDOW", 224))
 LMU_FUSED_MIN_RES = int(os.environ.get("BENCH_LMU_FUSED", 0))
 PHASE_SPACE = int(os.environ.get("BENCH_PHASE_SPACE", 0))
@@ -61,6 +62,7 @@ def main():
                                     remat_backbone=True,
                                     deconv_impl="conv", compute_dtype=DTYPE,
                                     remat_skip_blocks=REMAT_SKIP,
+                                    remat_policy=REMAT_POLICY,
                                     ori_window=ORI_WINDOW,
                                     lmu_fused_min_res=LMU_FUSED_MIN_RES,
                                     phase_space_min_res=PHASE_SPACE,

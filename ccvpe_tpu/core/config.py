@@ -90,6 +90,12 @@ class ModelConfig:
     # the high-res early blocks are the costliest to recompute but have the
     # smallest outputs (nn/efficientnet.py::EfficientNetB0.remat_skip)
     remat_skip_blocks: int = 0
+    # remat policy for the remat'd backbone blocks: 'none' (store block
+    # boundaries only) or 'save_dw' (also store each depthwise-conv output
+    # so backward recompute skips the kxk depthwise convs - trades a few GB
+    # at batch 80 for the most expensive recompute ops;
+    # nn/efficientnet.py::EfficientNetB0.remat_policy)
+    remat_policy: str = "none"
     # Rematerialize each decoder stage as well (the 512^2 activations are the
     # largest); enables batch sizes beyond the remat_backbone ceiling.
     remat_decoder: bool = False

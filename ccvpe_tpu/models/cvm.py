@@ -79,10 +79,12 @@ class CVM(nn.Module):
         grd_feat, _ = EfficientNetB0(circular=cfg.circular, dtype=dtype,
                                      remat=cfg.remat_backbone,
                                      remat_skip=cfg.remat_skip_blocks,
+                                     remat_policy=cfg.remat_policy,
                                      name="grd_encoder")(grd, train)
         sat_feat, sat_multiscale = EfficientNetB0(circular=False, dtype=dtype,
                                                   remat=cfg.remat_backbone,
                                                   remat_skip=cfg.remat_skip_blocks,
+                                                  remat_policy=cfg.remat_policy,
                                                   name="sat_encoder")(sat, train)
         # Skip connections: the LAST backbone block at each spatial resolution.
         # For a 512^2 aerial input this selects blocks 15,10,4,2,0 with

@@ -113,6 +113,12 @@ class MBConv(nn.Module):
             use_bias=False, feature_group_count=mid,
             dtype=self.dtype, name="depthwise_conv",
         )(x)
+        # Named so the save_dw remat policy can store it: the k x k
+        # depthwise conv is the block's most expensive op to recompute
+        # (25 taps/value for k=5 on the VPU), while its output is needed
+        # again in backward (bn1's stats grad). See EfficientNetB0.remat.
+        from jax.ad_checkpoint import checkpoint_name
+        x = checkpoint_name(x, "dw_out")
         x = BatchNorm(name="bn1")(x, train)
         x = swish(x)
         x = SqueezeExcite(max(1, int(self.in_filters * SE_RATIO)),
@@ -145,6 +151,13 @@ class EfficientNetB0(nn.Module):
     # recompute but their outputs are small (few channels), so storing them
     # buys back their entire backward recompute for a few hundred MB.
     remat_skip: int = 0
+    # Remat policy for the remat'd blocks: 'none' stores only block
+    # boundaries (max memory saving, full in-block recompute); 'save_dw'
+    # additionally stores each block's depthwise-conv output (the
+    # checkpoint_name above) so backward recompute skips the k x k
+    # depthwise convs - ~6x-channel tensors at output resolution, a few GB
+    # at batch 80, bought back as tens of ms of recompute.
+    remat_policy: str = "none"
 
     @nn.compact
     def __call__(
@@ -161,7 +174,9 @@ class EfficientNetB0(nn.Module):
         x = BatchNorm(name="stem_bn")(x, train)
         x = swish(x)
 
-        remat_cls = nn.remat(MBConv, static_argnums=(2,))
+        policy = (jax.checkpoint_policies.save_only_these_names("dw_out")
+                  if self.remat_policy == "save_dw" else None)
+        remat_cls = nn.remat(MBConv, static_argnums=(2,), policy=policy)
         multiscale = []
         n = len(B0_BLOCK_SPECS)
         for i, (e, cin, cout, k, s) in enumerate(B0_BLOCK_SPECS):

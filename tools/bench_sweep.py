@@ -34,10 +34,12 @@ def parse_config(s):
     out = {"batch": 32, "remat_backbone": 1, "remat_decoder": 0,
            "dtype": "float32", "preset": "vigor", "deconv": "einsum",
            "flatten": 1, "accum": 1, "remat_skip": 0, "corr": "auto",
-           "ori_window": 0, "lmu": 0, "phase": 0, "corr_bf16": 0}
+           "ori_window": 0, "lmu": 0, "phase": 0, "corr_bf16": 0,
+           "remat_policy": "none"}
     for kv in s.split(","):
         k, v = kv.split("=")
-        out[k] = v if k in ("dtype", "preset", "deconv", "corr") else int(v)
+        out[k] = (v if k in ("dtype", "preset", "deconv", "corr",
+                             "remat_policy") else int(v))
     return out
 
 
@@ -50,6 +52,7 @@ def run_one(cfg, warmup=5, iters=30):
         remat_backbone=bool(cfg["remat_backbone"]),
         remat_decoder=bool(cfg["remat_decoder"]),
         remat_skip_blocks=cfg["remat_skip"],
+        remat_policy=cfg["remat_policy"],
         ori_window=cfg["ori_window"],
         lmu_fused_min_res=cfg["lmu"],
         phase_space_min_res=cfg["phase"],
