@@ -27,27 +27,28 @@ enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 # after warmup). See tools/bench_torch_baseline.py.
 TORCH_CPU_PAIRS_PER_S = 0.0432
 
-# Throughput-optimal single-chip configuration (docs/PERFORMANCE.md):
-# bf16 activations on the conv paths (the step is HBM-bandwidth-bound at the
-# fine decoder resolutions; params/BN/correlation/losses stay f32), backbone
-# rematerialization with the first blocks stored (remat_skip), train-time
-# orientation-decoder GT windowing (gradient-exact, tests/test_ori_window.py),
-# deconv_impl='conv' (avoids the einsum variant's 6-D padded temporaries),
-# phase-space fine decoder stages (ops/phase_space.py), batch 80 (96/128
-# exceed the remote compile helper's limits). Every knob is env-overridable
-# for A/B runs (BENCH_<NAME>); BENCH_PRESET selects the workload (vigor /
-# kitti / oxford) with per-preset measured-optimal batch defaults.
+# Throughput-optimal single-chip configuration (docs/PERFORMANCE.md, r4
+# sweep docs/sweep_r4.jsonl): bf16 activations on the conv paths
+# (params/BN/losses stay f32), backbone rematerialization with the first 2
+# blocks stored (remat_skip; skip 3 and no-remat both measured slower),
+# train-time orientation-decoder GT windowing at its validated floor of 160
+# px (gradient-exact, tests/test_ori_window.py), bf16 correlation operands
+# with f32 accumulation (corr_bf16), deconv_impl='conv', batch 80 (96/128
+# exceed the remote compile helper's limits). Phase-space stages measured
+# slower and stay off (docs/PERFORMANCE.md "Phase-space"). Every knob is
+# env-overridable for A/B runs (BENCH_<NAME>); BENCH_PRESET selects the
+# workload (vigor / kitti / oxford) with per-preset batch defaults.
 PRESET = os.environ.get("BENCH_PRESET", "vigor")
 _DEFAULT_BATCH = {"vigor": 80, "kitti": 48, "oxford": 96}
 BATCH = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH.get(PRESET, 32)))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 REMAT_SKIP = int(os.environ.get("BENCH_REMAT_SKIP", 2))
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "none")
-ORI_WINDOW = int(os.environ.get("BENCH_ORI_WINDOW", 224))
+ORI_WINDOW = int(os.environ.get("BENCH_ORI_WINDOW", 160))
 LMU_FUSED_MIN_RES = int(os.environ.get("BENCH_LMU_FUSED", 0))
 PHASE_SPACE = int(os.environ.get("BENCH_PHASE_SPACE", 0))
 CORR_IMPL = os.environ.get("BENCH_CORR", "auto")
-CORR_BF16 = int(os.environ.get("BENCH_CORR_BF16", 0))
+CORR_BF16 = int(os.environ.get("BENCH_CORR_BF16", 1))
 WARMUP = 5
 ITERS = 30
 

@@ -87,7 +87,7 @@ def worker(args):
         col_offset=rng.uniform(-100, 100, lb).astype(np.float32),
         angle_deg=rng.uniform(0, 360, lb).astype(np.float32),
     )
-    with jax.sharding.use_mesh(mesh):
+    with jax.set_mesh(mesh):
         batch = shard_batch(mesh, local)
         key = jax.random.PRNGKey(0)
         for _ in range(args.warmup):
