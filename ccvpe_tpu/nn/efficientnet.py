@@ -48,17 +48,25 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class BatchNorm(nn.Module):
+    """flax BatchNorm with f32 statistics/EMA (parity-critical; torch
+    matches at rtol 2e-4, tests/test_train_parity.py) but the normalized
+    OUTPUT cast back to `dtype`: without the cast the f32-promoted result
+    is what XLA materializes and re-reads on the 6x-expanded tensors -
+    measured as multi-ms f32[...,6C] fusion outputs in the r4 trace."""
+
     eps: float = BN_EPS
     momentum: float = BN_MOMENTUM
+    dtype: Any = None   # None = keep flax's promoted (f32) output
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        y = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.eps,
             name="bn",
         )(x)
+        return y if self.dtype is None else y.astype(self.dtype)
 
 
 class SqueezeExcite(nn.Module):
@@ -98,7 +106,7 @@ class MBConv(nn.Module):
         if self.expand_ratio != 1:
             x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand_conv")(x)
-            x = BatchNorm(name="bn0")(x, train)
+            x = BatchNorm(name="bn0", dtype=self.dtype)(x, train)
             x = swish(x)
         # Zero padding rides the conv's own padding config (free - no
         # materialized pad pass over the 6x-expanded tensor; the r4 trace
@@ -119,13 +127,13 @@ class MBConv(nn.Module):
         # again in backward (bn1's stats grad). See EfficientNetB0.remat.
         from jax.ad_checkpoint import checkpoint_name
         x = checkpoint_name(x, "dw_out")
-        x = BatchNorm(name="bn1")(x, train)
+        x = BatchNorm(name="bn1", dtype=self.dtype)(x, train)
         x = swish(x)
         x = SqueezeExcite(max(1, int(self.in_filters * SE_RATIO)),
                           dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_conv")(x.astype(self.dtype))
-        x = BatchNorm(name="bn2")(x, train)
+        x = BatchNorm(name="bn2", dtype=self.dtype)(x, train)
         if self.stride == 1 and self.in_filters == self.out_filters:
             if train and self.drop_rate > 0:
                 # drop-connect / stochastic depth (utils.py:129-154)
@@ -171,7 +179,7 @@ class EfficientNetB0(nn.Module):
         x = nn.Conv(32, (3, 3), strides=(2, 2),
                     padding=(ph, (0, 0) if self.circular else pw),
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = BatchNorm(name="stem_bn")(x, train)
+        x = BatchNorm(name="stem_bn", dtype=self.dtype)(x, train)
         x = swish(x)
 
         policy = (jax.checkpoint_policies.save_only_these_names("dw_out")
@@ -193,6 +201,6 @@ class EfficientNetB0(nn.Module):
 
         x = nn.Conv(self.head_features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="head_conv")(x.astype(self.dtype))
-        x = BatchNorm(name="head_bn")(x, train)
+        x = BatchNorm(name="head_bn", dtype=self.dtype)(x, train)
         x = swish(x)
         return x, multiscale
