@@ -27,7 +27,7 @@ import numpy as np
 
 
 def build_step(batch, dtype="float32", ori_window=0, remat_skip=0,
-               phase_space=0):
+               phase_space=0, corr_bf16=0):
     import dataclasses
 
     from ccvpe_tpu.core import config as cfg_lib
@@ -37,7 +37,8 @@ def build_step(batch, dtype="float32", ori_window=0, remat_skip=0,
                                     deconv_impl="conv", compute_dtype=dtype,
                                     ori_window=ori_window,
                                     remat_skip_blocks=remat_skip,
-                                    phase_space_min_res=phase_space)
+                                    phase_space_min_res=phase_space,
+                                    corr_bf16=bool(corr_bf16))
     train_cfg = cfg_lib.TrainConfig(batch_size=batch)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
@@ -141,6 +142,7 @@ def main():
     ap.add_argument("--ori-window", type=int, default=0)
     ap.add_argument("--remat-skip", type=int, default=0)
     ap.add_argument("--phase-space", type=int, default=0)
+    ap.add_argument("--corr-bf16", type=int, default=0)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="/tmp/ccvpe_trace")
     ap.add_argument("--top", type=int, default=40)
@@ -149,7 +151,8 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     step, state, data = build_step(args.batch, args.dtype, args.ori_window,
-                                   args.remat_skip, args.phase_space)
+                                   args.remat_skip, args.phase_space,
+                                   args.corr_bf16)
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
