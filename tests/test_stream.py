@@ -73,3 +73,26 @@ def test_stream_eval_summary_and_sharding():
                      indices=range(14), batch_size=4, num_workers=2,
                      shard_id=1, num_shards=2, eval_step=eval_step)
     assert s0["frames"] + s1["frames"] == 14
+
+
+@pytest.mark.slow
+def test_stream_eval_depth_invariant():
+    """The k-deep async-copy pipeline (r4) must produce identical metrics
+    at any pipeline_depth - overlap changes latency, never values."""
+    cfg = cfg_lib.tiny()
+    model, state, _ = create_train_state(cfg, cfg_lib.TrainConfig(),
+                                         jax.random.PRNGKey(17))
+    eval_step = make_eval_step(model, cfg)
+    dataset = SyntheticTraversal(cfg, 10)
+
+    outs = [
+        stream_eval(model, cfg, state.params, state.batch_stats, dataset,
+                    indices=range(10), batch_size=3, meters_per_pixel=0.25,
+                    num_workers=2, eval_step=eval_step, pipeline_depth=d)
+        for d in (1, 4, 16)
+    ]
+    for other in outs[1:]:
+        for k, v in outs[0].items():
+            if k in ("fps", "aggregate_fps"):
+                continue
+            assert other[k] == pytest.approx(v), (k, v, other[k])
