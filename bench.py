@@ -39,7 +39,7 @@ TORCH_CPU_PAIRS_PER_S = 0.0432
 # env-overridable for A/B runs (BENCH_<NAME>); BENCH_PRESET selects the
 # workload (vigor / kitti / oxford) with per-preset batch defaults.
 PRESET = os.environ.get("BENCH_PRESET", "vigor")
-_DEFAULT_BATCH = {"vigor": 96, "kitti": 80, "oxford": 96}
+_DEFAULT_BATCH = {"vigor": 96, "kitti": 80, "oxford": 112}
 BATCH = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH.get(PRESET, 32)))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 REMAT_SKIP = int(os.environ.get("BENCH_REMAT_SKIP", 2))

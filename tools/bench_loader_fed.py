@@ -137,7 +137,9 @@ def main():
 
     model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
                                     deconv_impl="conv",
-                                    compute_dtype="bfloat16")
+                                    compute_dtype="bfloat16",
+                                    remat_skip_blocks=2, ori_window=160,
+                                    corr_bf16=True)  # r4 bench config
     train_cfg = cfg_lib.TrainConfig(batch_size=args.batch)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))
