@@ -33,13 +33,15 @@ TORCH_CPU_PAIRS_PER_S = 0.0432
 # blocks stored (remat_skip; skip 3 and no-remat both measured slower),
 # train-time orientation-decoder GT windowing at its validated floor of 160
 # px (gradient-exact, tests/test_ori_window.py), bf16 correlation operands
-# with f32 accumulation (corr_bf16), deconv_impl='conv', batch 80 (96/128
-# exceed the remote compile helper's limits). Phase-space stages measured
-# slower and stay off (docs/PERFORMANCE.md "Phase-space"). Every knob is
+# with f32 accumulation (corr_bf16), deconv_impl='conv', batch 96 — the
+# measured optimum; 104 is slower and 112/128 exceed the remote compile
+# helper's limits (the BN-output cast is what made 96 fit). Phase-space
+# stages measured slower and stay off ("Phase-space" in the docs). Every
+# knob is
 # env-overridable for A/B runs (BENCH_<NAME>); BENCH_PRESET selects the
 # workload (vigor / kitti / oxford) with per-preset batch defaults.
 PRESET = os.environ.get("BENCH_PRESET", "vigor")
-_DEFAULT_BATCH = {"vigor": 96, "kitti": 80, "oxford": 112}
+_DEFAULT_BATCH = {"vigor": 96, "kitti": 80, "oxford": 124}
 BATCH = int(os.environ.get("BENCH_BATCH", _DEFAULT_BATCH.get(PRESET, 32)))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 REMAT_SKIP = int(os.environ.get("BENCH_REMAT_SKIP", 2))
