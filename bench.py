@@ -51,6 +51,7 @@ LMU_FUSED_MIN_RES = int(os.environ.get("BENCH_LMU_FUSED", 0))
 PHASE_SPACE = int(os.environ.get("BENCH_PHASE_SPACE", 0))
 CORR_IMPL = os.environ.get("BENCH_CORR", "auto")
 CORR_BF16 = int(os.environ.get("BENCH_CORR_BF16", 1))
+CIRC_IMPL = os.environ.get("BENCH_CIRC", "wrap")
 WARMUP = 5
 ITERS = 30
 
@@ -70,7 +71,8 @@ def main():
                                     lmu_fused_min_res=LMU_FUSED_MIN_RES,
                                     phase_space_min_res=PHASE_SPACE,
                                     corr_impl=CORR_IMPL,
-                                    corr_bf16=bool(CORR_BF16))
+                                    corr_bf16=bool(CORR_BF16),
+                                    circular_impl=CIRC_IMPL)
     train_cfg = cfg_lib.TrainConfig(batch_size=BATCH)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.PRNGKey(17))

@@ -30,6 +30,11 @@ class ModelConfig:
     # --- backbone ---
     circular: bool = True        # horizontal circular padding on the ground encoder
                                  # (models.py:55; only when FoV==360, train_VIGOR.py:52-55)
+    # How circular W padding is realized: 'wrap' materializes the wrapped
+    # tensor; 'edgefix' runs the conv with zero W pad and recomputes the <=2
+    # wrap-crossing output columns per side exactly (value-equal; saves the
+    # full-tensor wrap copies the r4 trace measured at ~23 ms/step).
+    circular_impl: str = "wrap"
     backbone_features: int = 1280
 
     # --- ground descriptor heads (models.py:57-97) ---

@@ -80,6 +80,7 @@ class CVM(nn.Module):
                                      remat=cfg.remat_backbone,
                                      remat_skip=cfg.remat_skip_blocks,
                                      remat_policy=cfg.remat_policy,
+                                     circular_impl=cfg.circular_impl,
                                      name="grd_encoder")(grd, train)
         sat_feat, sat_multiscale = EfficientNetB0(circular=False, dtype=dtype,
                                                   remat=cfg.remat_backbone,

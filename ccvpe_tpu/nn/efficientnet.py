@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ccvpe_tpu.ops.padding import B0_BLOCKS, B0_STEM, pad_same, traced_same_pads
+from ccvpe_tpu.ops.padding import (B0_BLOCKS, B0_STEM, conv_circular_same,
+                                   pad_same, traced_same_pads)
 
 # Per-block (expand_ratio, input_filters, output_filters, kernel, stride),
 # decoded from the B0 block-args strings (utils.py:647-655) with num_repeat
@@ -69,6 +70,36 @@ class BatchNorm(nn.Module):
         return y if self.dtype is None else y.astype(self.dtype)
 
 
+class CircularSameConv(nn.Module):
+    """Bias-free conv with horizontal-circular SAME padding, implemented as a
+    zero-pad conv plus exact edge-column recompute (ops/padding.py
+    conv_circular_same) so the wrapped tensor is never materialized.
+
+    Drop-in weight-compatible with the nn.Conv it replaces: the single
+    "kernel" param has the identical path, shape, init and param dtype, so
+    checkpoints / torch-converted weights (utils/torch_convert.py) load
+    unchanged whichever impl is configured.
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    pad_h: Tuple[int, int]
+    pad_w: Tuple[int, int]
+    groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin // self.groups, self.features),
+            jnp.float32)
+        return conv_circular_same(x, w.astype(self.dtype), self.stride,
+                                  self.pad_h, self.pad_w, groups=self.groups)
+
+
 class SqueezeExcite(nn.Module):
     """SE: global avg pool -> reduce 1x1 -> swish -> expand 1x1 -> sigmoid gate
     (model.py:112-118)."""
@@ -98,6 +129,9 @@ class MBConv(nn.Module):
     circular: bool
     drop_rate: float
     dtype: Any = jnp.float32
+    # 'wrap' materializes the wrapped tensor (jnp.pad mode='wrap');
+    # 'edgefix' uses CircularSameConv (zero-pad conv + edge recompute).
+    circular_impl: str = "wrap"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,14 +147,21 @@ class MBConv(nn.Module):
         # showed ~30 ms/step of explicit pad copies). Only the circular
         # W-wrap needs a real pad (no wrap mode in conv windows).
         x = x.astype(self.dtype)
-        if self.circular:
-            x = pad_same(x, (0, 0), self.pad_w, circular=True)
-        x = nn.Conv(
-            mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-            padding=(self.pad_h, (0, 0) if self.circular else self.pad_w),
-            use_bias=False, feature_group_count=mid,
-            dtype=self.dtype, name="depthwise_conv",
-        )(x)
+        if self.circular and self.circular_impl == "edgefix":
+            x = CircularSameConv(
+                features=mid, kernel=self.kernel, stride=self.stride,
+                pad_h=self.pad_h, pad_w=self.pad_w, groups=mid,
+                dtype=self.dtype, name="depthwise_conv")(x)
+        else:
+            if self.circular:
+                x = pad_same(x, (0, 0), self.pad_w, circular=True)
+            x = nn.Conv(
+                mid, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=(self.pad_h, (0, 0) if self.circular else self.pad_w),
+                use_bias=False, feature_group_count=mid,
+                dtype=self.dtype, name="depthwise_conv",
+            )(x)
         # Named so the save_dw remat policy can store it: the k x k
         # depthwise conv is the block's most expensive op to recompute
         # (25 taps/value for k=5 on the VPU), while its output is needed
@@ -166,6 +207,8 @@ class EfficientNetB0(nn.Module):
     # depthwise convs - ~6x-channel tensors at output resolution, a few GB
     # at batch 80, bought back as tens of ms of recompute.
     remat_policy: str = "none"
+    # See MBConv.circular_impl; applies to the stem + every depthwise conv.
+    circular_impl: str = "wrap"
 
     @nn.compact
     def __call__(
@@ -174,11 +217,17 @@ class EfficientNetB0(nn.Module):
         pads = traced_same_pads()
         (ph, pw) = pads[0]
         x = x.astype(self.dtype)
-        if self.circular:
-            x = pad_same(x, (0, 0), pw, circular=True)
-        x = nn.Conv(32, (3, 3), strides=(2, 2),
-                    padding=(ph, (0, 0) if self.circular else pw),
-                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        if self.circular and self.circular_impl == "edgefix":
+            x = CircularSameConv(features=32, kernel=3, stride=2, pad_h=ph,
+                                 pad_w=pw, dtype=self.dtype,
+                                 name="stem_conv")(x)
+        else:
+            if self.circular:
+                x = pad_same(x, (0, 0), pw, circular=True)
+            x = nn.Conv(32, (3, 3), strides=(2, 2),
+                        padding=(ph, (0, 0) if self.circular else pw),
+                        use_bias=False, dtype=self.dtype,
+                        name="stem_conv")(x)
         x = BatchNorm(name="stem_bn", dtype=self.dtype)(x, train)
         x = swish(x)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 # (kernel, stride) of every spatial conv in EfficientNet-B0, in order:
@@ -93,3 +94,68 @@ def pad_same(
             x = jnp.pad(x, ((0, 0), pad_h, (0, 0), (0, 0)))
         return x
     return jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)))
+
+
+def _conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+          pad_h: Tuple[int, int], pad_w: Tuple[int, int],
+          groups: int) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride),
+        padding=(pad_h, pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+
+
+def conv_circular_same(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: int,
+    pad_h: Tuple[int, int],
+    pad_w: Tuple[int, int],
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Conv with horizontal-CIRCULAR padding, without materializing the wrap.
+
+    Value-equal to `conv(pad_same(x, (0,0), pad_w, circular=True))` with the
+    H pad riding the conv (the behavior of Conv2dStaticCircularPadding,
+    reference efficientnet_pytorch/utils.py:330-358), but built so XLA never
+    writes a wrapped copy of the whole tensor: the conv runs with ZERO W
+    padding (free — padding is part of the conv op), and only the <=2 output
+    columns per side whose receptive field crosses the wrap are recomputed
+    from tiny wrapped strips and spliced in with static dynamic-update-slices.
+    The edge convs evaluate the identical windows the wrapped conv would, so
+    the result is bitwise-equal in every column; the r4 trace attributed
+    ~23 ms/step of the grd encoder to these wrap copies (docs/PERFORMANCE.md).
+    """
+    pl, pr = pad_w
+    k = kernel.shape[1]
+    w_in = x.shape[2]
+    y = _conv(x, kernel, stride, pad_h, pad_w, groups)
+    if pl == 0 and pr == 0:
+        return y
+    w_out = y.shape[2]
+    # Output column j reads padded columns [j*s, j*s+k); padded p maps to
+    # input p-pl, wrapping negatives to W+p-pl and overflow to p-pl-W.
+    n_left = -(-pl // stride) if pl else 0
+    j0_right = (pl + w_in - k) // stride + 1
+    n_right = max(0, w_out - j0_right)
+    if n_left:
+        span = (n_left - 1) * stride + k
+        strip = jnp.concatenate(
+            [x[:, :, w_in - pl:, :], x[:, :, : span - pl, :]], axis=2)
+        fix = _conv(strip, kernel, stride, pad_h, (0, 0), groups)
+        y = jax.lax.dynamic_update_slice_in_dim(y, fix, 0, axis=2)
+    if n_right:
+        span = (n_right - 1) * stride + k
+        start = j0_right * stride - pl
+        wrap = span - (w_in - start)
+        parts = [x[:, :, start:, :]]
+        if wrap > 0:
+            parts.append(x[:, :, :wrap, :])
+        strip = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+        fix = _conv(strip, kernel, stride, pad_h, (0, 0), groups)
+        y = jax.lax.dynamic_update_slice_in_dim(y, fix, w_out - n_right,
+                                                axis=2)
+    return y

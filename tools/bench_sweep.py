@@ -35,11 +35,11 @@ def parse_config(s):
            "dtype": "float32", "preset": "vigor", "deconv": "einsum",
            "flatten": 1, "accum": 1, "remat_skip": 0, "corr": "auto",
            "ori_window": 0, "lmu": 0, "phase": 0, "corr_bf16": 0,
-           "remat_policy": "none"}
+           "remat_policy": "none", "circ": "wrap"}
     for kv in s.split(","):
         k, v = kv.split("=")
         out[k] = (v if k in ("dtype", "preset", "deconv", "corr",
-                             "remat_policy") else int(v))
+                             "remat_policy", "circ") else int(v))
     return out
 
 
@@ -57,6 +57,7 @@ def run_one(cfg, warmup=5, iters=30):
         lmu_fused_min_res=cfg["lmu"],
         phase_space_min_res=cfg["phase"],
         corr_bf16=bool(cfg["corr_bf16"]),
+        circular_impl=cfg["circ"],
         deconv_impl=cfg["deconv"],
         corr_impl=cfg["corr"],
         compute_dtype=cfg["dtype"])
