@@ -243,6 +243,7 @@ class EfficientNetB0(nn.Module):
             x = block_cls(
                 expand_ratio=e, in_filters=cin, out_filters=cout, kernel=k,
                 stride=s, pad_h=ph, pad_w=pw, circular=self.circular,
+                circular_impl=self.circular_impl,
                 drop_rate=DROP_CONNECT_RATE * i / n,   # model.py:262-264
                 dtype=self.dtype, name=f"block{i}",
             )(x, train)

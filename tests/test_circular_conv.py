@@ -78,7 +78,7 @@ def test_backbone_edgefix_equals_wrap(rng):
     edge = EfficientNetB0(circular=True, circular_impl="edgefix")
     params = wrap.init(jax.random.PRNGKey(0), x)
     # param trees are interchangeable (CircularSameConv mirrors nn.Conv)
-    jax.tree_util.tree_all(jax.tree_util.tree_map(
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda a, b: a.shape == b.shape, params,
         edge.init(jax.random.PRNGKey(0), x)))
     yw, msw = wrap.apply(params, x)
