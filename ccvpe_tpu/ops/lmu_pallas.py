@@ -296,17 +296,18 @@ def _fused_stage_kernel(xb, xh, sb, sh, wd, bd, w1d, w1s, b1, w2, b2,
 def _prep_strip_inputs(x, skip, strip, dtype):
     """Main strip arrays (UNPADDED - BlockSpec partitions them into the true
     strips) + halo companions (from the row-padded arrays, so image-boundary
-    halos are zeros) for x and the phase-split skip planes."""
-    b, hc, wc, cin = x.shape
+    halos are zeros) for x and the phase-split skip planes.
+
+    No-skip stages carry NO dummy skip arrays: the callers omit the skip
+    operands (and the dskip output) from the pallas_call entirely, because a
+    [4,B,Hc,Wc,1] f32 companion would be lane-padded 128x in HBM under
+    Pallas's forced row-major layouts (ADVICE r3; docs/PERFORMANCE.md
+    "Fused LMU")."""
     xh = _strip_halos(pad_rows(x, 2), strip, 2)
     if skip is None:
-        cs = 1
-        n = hc // strip
-        sph = jnp.zeros((4, b, hc, wc, cs), dtype)
-        sh = jnp.zeros((4, b, n * 4, wc, cs), dtype)
-    else:
-        sph = _phase_major(skip.astype(dtype))        # [4, B, Hc, Wc, Cs]
-        sh = _strip_halos(pad_rows(sph, 2, axis=2), strip, 2, axis=2)
+        return xh, None, None
+    sph = _phase_major(skip.astype(dtype))            # [4, B, Hc, Wc, Cs]
+    sh = _strip_halos(pad_rows(sph, 2, axis=2), strip, 2, axis=2)
     return xh, sph, sh
 
 
@@ -337,32 +338,54 @@ def fused_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
 
     xh, sph, sh = _prep_strip_inputs(x, skip, strip, dtype)
 
-    kernel = functools.partial(
+    base = functools.partial(
         _fused_stage_kernel, strip=strip, hc=hc, wc=wc, cin=cin,
         cskip=cskip, cd=cd, cout=cout, dtype=dtype)
+
+    in_specs = [
+        pl.BlockSpec((1, strip, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),                  # x strip
+        pl.BlockSpec((1, 4, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),                  # x halos
+    ]
+    operands = [x, xh]
+    if cskip:
+        kernel = base
+        in_specs += [
+            pl.BlockSpec((4, 1, strip, wc, cs),
+                         lambda bi, ti: (0, bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),              # skip
+            pl.BlockSpec((4, 1, 4, wc, cs),
+                         lambda bi, ti: (0, bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),              # skip halos
+        ]
+        operands += [sph, sh]
+        w1s = w1[:, :, cd:]
+    else:
+        # no dummy skip operands (they would be 128x lane-padded in HBM);
+        # the kernel body never reads them when cskip == 0
+        def kernel(xb, xh_, wd_, bd_, w1d_, w1s_, b1_, w2_, b2_, out_ref):
+            base(xb, xh_, None, None, wd_, bd_, w1d_, w1s_, b1_, w2_, b2_,
+                 out_ref)
+        w1s = jnp.zeros((3, 3, 1, c1), w1.dtype)   # tiny, keeps arity stable
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # wd [4, Cin, Cd]
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # bd [1, Cd]
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # w1d [3,3,Cd,C1]
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # w1s [3,3,Cs,C1]
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # b1 [1, C1]
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # w2 [3,3,C1,Cout]
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # b2 [1, Cout]
+    ]
+    operands += [
+        wd.reshape(4, cin, cd).astype(dtype), bd.astype(F32)[None],
+        w1[:, :, :cd].astype(dtype), w1s.astype(dtype),
+        b1.astype(F32)[None], w2.astype(dtype), b2.astype(F32)[None]]
 
     out = pl.pallas_call(
         kernel,
         grid=(b, n),
-        in_specs=[
-            pl.BlockSpec((1, strip, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # x strip
-            pl.BlockSpec((1, 4, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # x halos
-            pl.BlockSpec((4, 1, strip, wc, cs),
-                         lambda bi, ti: (0, bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # skip
-            pl.BlockSpec((4, 1, 4, wc, cs),
-                         lambda bi, ti: (0, bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # skip halos
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # wd [4, Cin, Cd]
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # bd [1, Cd]
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # w1d [3,3,Cd,C1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # w1s [3,3,Cs,C1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # b1 [1, C1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # w2 [3,3,C1,Cout]
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # b2 [1, Cout]
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (4, 1, strip, wc, cout), lambda bi, ti: (0, bi, ti, 0, 0),
             memory_space=pltpu.VMEM),
@@ -370,12 +393,7 @@ def fused_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),  # default ~16M scoped
         interpret=interpret,
-    )(x, xh, sph, sh,
-      wd.reshape(4, cin, cd).astype(dtype), bd.astype(F32)[None],
-      w1[:, :, :cd].astype(dtype),
-      (w1[:, :, cd:] if cskip else jnp.zeros((3, 3, 1, c1), w1.dtype)
-       ).astype(dtype),
-      b1.astype(F32)[None], w2.astype(dtype), b2.astype(F32)[None])
+    )(*operands)
     return _phase_major_to_fine(out)
 
 
@@ -468,9 +486,9 @@ def _fused_stage_bwd_kernel(xb, xh, sb, sh, dyb, dyh, wd, w1d, w1s, w2,
                 x_true.astype(dtype), dhd.astype(dtype),
                 (((0,), (0,)), ((), ())), preferred_element_type=F32))
             dbd_c = dbd_c + jnp.sum(dhd, axis=0)
-            dskip_ref[2 * di + dj, 0] = (
-                dsk[di][dj] if cskip
-                else jnp.zeros((strip, wc, 1), F32)).astype(dskip_ref.dtype)
+            if cskip:
+                dskip_ref[2 * di + dj, 0] = dsk[di][dj].astype(
+                    dskip_ref.dtype)
     dx_ref[0] = dx_acc.reshape(strip, wc, cin).astype(dx_ref.dtype)
     dwd_ref[...] += jnp.stack(dwd_c)
     dbd_ref[...] += dbd_c[None]
@@ -516,83 +534,112 @@ def fused_stage_bwd_pallas(x, skip, dy, wd, bd, w1, b1, w2, b2,
     dyph = _phase_major(dy.astype(F32))              # [4, B, Hc, Wc, Cout]
     dyh = _strip_halos(pad_rows(dyph, 2, axis=2), strip, 2, axis=2)
 
-    kernel = functools.partial(
+    base = functools.partial(
         _fused_stage_bwd_kernel, strip=strip, hc=hc, wc=wc, cin=cin,
         cskip=cskip, cd=cd, cout=cout, c1=c1, dtype=dtype)
 
     const3 = lambda bi, ti: (0, 0, 0)     # noqa: E731 - accumulators stay
     const4 = lambda bi, ti: (0, 0, 0, 0)  # noqa: E731   resident in VMEM
     const2 = lambda bi, ti: (0, 0)        # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((1, strip, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),                  # x strip
+        pl.BlockSpec((1, 4, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),                  # x halos
+    ]
+    operands = [x, xh]
+    if cskip:
+        kernel = base
+        in_specs += [
+            pl.BlockSpec((4, 1, strip, wc, cs),
+                         lambda bi, ti: (0, bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),              # skip
+            pl.BlockSpec((4, 1, 4, wc, cs),
+                         lambda bi, ti: (0, bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),              # skip halo
+        ]
+        operands += [sph, sh]
+        w1s = w1[:, :, cd:]
+    else:
+        # no dummy skip operands and NO dskip output: a [4,B,Hc,Wc,1]
+        # companion would be 128x lane-padded in HBM (ADVICE r3)
+        def kernel(xb, xh_, dyb, dyh_, wd_, w1d_, w1s_, w2_, w1dT_, w1sT_,
+                   w2T_, bd_, b1_, dx_ref, dwd_ref, dbd_ref, dw1d_ref,
+                   dw1s_ref, db1_ref, dw2_ref, db2_ref):
+            base(xb, xh_, None, None, dyb, dyh_, wd_, w1d_, w1s_, w2_,
+                 w1dT_, w1sT_, w2T_, bd_, b1_, dx_ref, None, dwd_ref,
+                 dbd_ref, dw1d_ref, dw1s_ref, db1_ref, dw2_ref, db2_ref)
+        w1s = jnp.zeros((3, 3, 1, c1), w1.dtype)   # tiny, keeps arity stable
+    in_specs += [
+        pl.BlockSpec((4, 1, strip, wc, cout),
+                     lambda bi, ti: (0, bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),                  # dy
+        pl.BlockSpec((4, 1, 4, wc, cout),
+                     lambda bi, ti: (0, bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),                  # dy halos
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # wd
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # w1d
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # w1s
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # w2
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # w1dT (pre-flipped:
+        pl.BlockSpec(memory_space=pltpu.VMEM),     #  w1sT  Mosaic has no
+        pl.BlockSpec(memory_space=pltpu.VMEM),     #  w2T   in-kernel rev)
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # bd [1, Cd]
+        pl.BlockSpec(memory_space=pltpu.VMEM),     # b1 [1, C1]
+    ]
+    operands += [
+        dyph, dyh,
+        wd.reshape(4, cin, cd).astype(dtype),
+        w1[:, :, :cd].astype(dtype), w1s.astype(dtype),
+        w2.astype(dtype),
+        _flipT(w1[:, :, :cd]).astype(dtype), _flipT(w1s).astype(dtype),
+        _flipT(w2).astype(dtype),
+        bd.astype(F32)[None], b1.astype(F32)[None]]
+
+    out_specs = [
+        pl.BlockSpec((1, strip, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),                  # dx
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, hc, wc, cin), dtype)]
+    if cskip:
+        out_specs += [pl.BlockSpec((4, 1, strip, wc, cs),
+                                   lambda bi, ti: (0, bi, ti, 0, 0),
+                                   memory_space=pltpu.VMEM)]     # dskip
+        out_shape += [jax.ShapeDtypeStruct((4, b, hc, wc, cs), dtype)]
+    out_specs += [
+        pl.BlockSpec((4, cin, cd), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cd), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, cd, c1), const4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, cs, c1), const4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c1), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, c1, cout), const4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((4, cin, cd), F32),
+        jax.ShapeDtypeStruct((1, cd), F32),
+        jax.ShapeDtypeStruct((3, 3, cd, c1), F32),
+        jax.ShapeDtypeStruct((3, 3, cs, c1), F32),
+        jax.ShapeDtypeStruct((1, c1), F32),
+        jax.ShapeDtypeStruct((3, 3, c1, cout), F32),
+        jax.ShapeDtypeStruct((1, cout), F32),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(b, n),
-        in_specs=[
-            pl.BlockSpec((1, strip, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # x strip
-            pl.BlockSpec((1, 4, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # x halos
-            pl.BlockSpec((4, 1, strip, wc, cs),
-                         lambda bi, ti: (0, bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # skip
-            pl.BlockSpec((4, 1, 4, wc, cs),
-                         lambda bi, ti: (0, bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # skip halo
-            pl.BlockSpec((4, 1, strip, wc, cout),
-                         lambda bi, ti: (0, bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # dy
-            pl.BlockSpec((4, 1, 4, wc, cout),
-                         lambda bi, ti: (0, bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # dy halos
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # wd
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # w1d
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # w1s
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # w2
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # w1dT (pre-flipped:
-            pl.BlockSpec(memory_space=pltpu.VMEM),     #  w1sT  Mosaic has no
-            pl.BlockSpec(memory_space=pltpu.VMEM),     #  w2T   in-kernel rev)
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # bd [1, Cd]
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # b1 [1, C1]
-        ],
-        out_specs=[
-            pl.BlockSpec((1, strip, wc, cin), lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # dx
-            pl.BlockSpec((4, 1, strip, wc, cs),
-                         lambda bi, ti: (0, bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),                  # dskip
-            pl.BlockSpec((4, cin, cd), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cd), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cd, c1), const4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cs, c1), const4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c1), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c1, cout), const4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hc, wc, cin), dtype),
-            jax.ShapeDtypeStruct((4, b, hc, wc, cs), dtype),
-            jax.ShapeDtypeStruct((4, cin, cd), F32),
-            jax.ShapeDtypeStruct((1, cd), F32),
-            jax.ShapeDtypeStruct((3, 3, cd, c1), F32),
-            jax.ShapeDtypeStruct((3, 3, cs, c1), F32),
-            jax.ShapeDtypeStruct((1, c1), F32),
-            jax.ShapeDtypeStruct((3, 3, c1, cout), F32),
-            jax.ShapeDtypeStruct((1, cout), F32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),  # default ~16M scoped
         interpret=interpret,
-    )(x, xh, sph, sh, dyph, dyh,
-      wd.reshape(4, cin, cd).astype(dtype),
-      w1[:, :, :cd].astype(dtype),
-      (w1[:, :, cd:] if cskip else jnp.zeros((3, 3, 1, c1), w1.dtype)
-       ).astype(dtype),
-      w2.astype(dtype),
-      _flipT(w1[:, :, :cd]).astype(dtype),
-      _flipT(w1[:, :, cd:] if cskip else jnp.zeros((3, 3, 1, c1), w1.dtype)
-             ).astype(dtype),
-      _flipT(w2).astype(dtype),
-      bd.astype(F32)[None], b1.astype(F32)[None])
-    (dx, dskip_ph, dwd, dbd, dw1d, dw1s, db1, dw2, db2) = out
+    )(*operands)
+    if cskip:
+        (dx, dskip_ph, dwd, dbd, dw1d, dw1s, db1, dw2, db2) = out
+    else:
+        (dx, dwd, dbd, dw1d, dw1s, db1, dw2, db2) = out
+        dskip_ph = None
     dwd = dwd.reshape(2, 2, cin, cd)
     if cskip:
         dskip = _phase_major_to_fine(dskip_ph).astype(skip.dtype)

@@ -39,6 +39,18 @@ def decode_angle(cos_v: jnp.ndarray, sin_v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(sin_v < 0, (-a) % 360.0, a)
 
 
+def gt_location_device(height: int, width: int, row_offset: jnp.ndarray,
+                       col_offset: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """jnp twin of gt_location (same first-min-on-tie argmin semantics) so
+    the scalar-only eval step can compute GT pixels and prob@GT on device
+    instead of fetching the full heatmap (train/evaluate.py)."""
+    ys = jnp.linspace(-height / 2.0, height / 2.0, height)
+    xs = jnp.linspace(-width / 2.0, width / 2.0, width)
+    rows = jnp.argmin(jnp.abs(ys[None, :] - row_offset[:, None]), axis=1)
+    cols = jnp.argmin(jnp.abs(xs[None, :] + col_offset[:, None]), axis=1)
+    return rows, cols
+
+
 def angle_error(pred_deg: np.ndarray, gt_deg: np.ndarray) -> np.ndarray:
     d = np.abs(pred_deg - gt_deg)
     return np.minimum(d, 360.0 - d)

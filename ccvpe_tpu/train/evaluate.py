@@ -14,7 +14,7 @@ import numpy as np
 
 from ccvpe_tpu.core import config as cfg_lib
 from ccvpe_tpu.ops import pose
-from ccvpe_tpu.train.step import make_eval_step
+from ccvpe_tpu.train.step import make_eval_decode_step
 
 
 def _load_params(model_cfg, checkpoint: str):
@@ -55,7 +55,7 @@ def slice_fov(grd: np.ndarray, fov: int) -> np.ndarray:
 
 
 def eval_over_loader(
-    eval_step,
+    decode_step,
     params,
     batch_stats,
     loader,
@@ -64,23 +64,31 @@ def eval_over_loader(
     fov: Optional[int] = None,
     with_prob_at_gt: bool = False,
     with_recalls: bool = True,
+    pipeline_depth: int = 4,
 ) -> Dict[str, float]:
     """Shared metric loop over one eval loader: pose decode, meter
     conversion, orientation error, longitudinal/lateral decomposition and
     recalls @1/3/5 m & deg (train_VIGOR.py:290-326, train_KITTI.py:320-360).
 
+    `decode_step` is a scalar-only fused step from
+    `train.step.make_eval_decode_step`: the heatmap/ori maps never leave
+    the device (the reference fetches full maps per batch and argmaxes on
+    the host, train_VIGOR.py:182-186 - ~25 MB/batch-8 of D2H for B scalars
+    of information). Six [B] vectors are fetched instead, with
+    `pipeline_depth` batches in flight and their D2H copies started at
+    dispatch time (the train/stream.py overlap pattern).
+
     `meters_per_pixel` is a float, or a callable city->float applied to the
     batch's "city" field (VIGOR per-city scales, train_VIGOR.py:193-200).
     """
-    hs, ws = model_cfg.sat_size
+    import collections
+
     dist, ori_err, longi, lat, prob = [], [], [], [], []
-    for raw in loader:
-        grd = slice_fov(raw["grd"], fov) if fov and fov != 360 else raw["grd"]
-        heatmap, ori = eval_step(params, batch_stats, grd, raw["sat"])
-        rows, cols, angle_pred = map(np.asarray, pose.decode_pose(heatmap, ori))
-        gt_rows, gt_cols = pose.gt_location(hs, ws, raw["row_offset"],
-                                            raw["col_offset"])
-        px = np.sqrt((gt_rows - rows) ** 2 + (gt_cols - cols) ** 2)
+
+    def consume(decoded, raw):
+        rows, cols, angle_pred, gt_rows, gt_cols, prob_gt = map(
+            np.asarray, decoded)
+        px = np.sqrt((gt_rows - rows) ** 2.0 + (gt_cols - cols) ** 2.0)
         if callable(meters_per_pixel):
             mpp = (np.array([meters_per_pixel(c) for c in raw["city"]])
                    if "city" in raw else meters_per_pixel(None))
@@ -94,9 +102,22 @@ def eval_over_loader(
         longi.extend(lo.tolist())
         lat.extend(la.tolist())
         if with_prob_at_gt:
-            hm = np.asarray(heatmap)
-            prob.extend(
-                hm[np.arange(len(gt_rows)), gt_rows, gt_cols, 0].tolist())
+            prob.extend(prob_gt.tolist())
+
+    pending = collections.deque()
+    for raw in loader:
+        grd = slice_fov(raw["grd"], fov) if fov and fov != 360 else raw["grd"]
+        decoded = decode_step(params, batch_stats, grd, raw["sat"],
+                              np.asarray(raw["row_offset"], np.float32),
+                              np.asarray(raw["col_offset"], np.float32))
+        for t in decoded:
+            if hasattr(t, "copy_to_host_async"):
+                t.copy_to_host_async()
+        pending.append((decoded, raw))
+        if len(pending) > max(1, pipeline_depth):
+            consume(*pending.popleft())
+    while pending:
+        consume(*pending.popleft())
     # multi-host: each process evaluated its loader shard; pool the raw
     # per-sample arrays so medians/recalls are global, not per-host
     from ccvpe_tpu.core.mesh import all_hosts_concat
@@ -132,7 +153,7 @@ def evaluate_vigor(args, ori_noise: float, circular: bool) -> Dict[str, float]:
     model_cfg = cfg_lib.vigor(
         ori_noise=ori_noise if ori_noise < 180 else None, circular=circular)
     model, params, batch_stats = _load_params(model_cfg, args.checkpoint)
-    eval_step = make_eval_step(model, model_cfg)
+    eval_step = make_eval_decode_step(model, model_cfg)
 
     loader = ThreadedLoader(dataset, args.batch_size, shuffle=False,
                             num_workers=args.num_workers, drop_last=False)
@@ -153,7 +174,7 @@ def evaluate_kitti(args) -> Dict[str, Dict[str, float]]:
 
     model_cfg = cfg_lib.kitti()
     model, params, batch_stats = _load_params(model_cfg, args.checkpoint)
-    eval_step = make_eval_step(model, model_cfg)
+    eval_step = make_eval_decode_step(model, model_cfg)
 
     results = {}
     for name, file in (("test1", args.test1_file), ("test2", args.test2_file)):

@@ -250,11 +250,39 @@ def make_train_step(model: CVM, tx: optax.GradientTransformation,
 
 
 def make_eval_step(model: CVM, model_cfg: ModelConfig):
-    """Forward-only step returning (heatmap, ori) for metric computation."""
+    """Forward-only step returning (heatmap, ori) for metric computation.
+
+    Full-map outputs: use only where the maps themselves are the product
+    (visualization, golden parity). Metric loops must use
+    make_eval_decode_step - fetching [B,512,512,*] maps per batch costs
+    ~25 MB/batch-8 of D2H for B scalars of information (VERDICT r4)."""
 
     def step(params, batch_stats, grd, sat):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           device_normalize(grd), device_normalize(sat), False)
         return out.heatmap, out.ori
+
+    return jax.jit(step)
+
+
+def make_eval_decode_step(model: CVM, model_cfg: ModelConfig):
+    """Scalar-only eval step: forward + pose decode + GT location + prob@GT
+    fused into ONE jitted dispatch whose outputs are five [B] vectors
+    (pred rows/cols, angle deg, GT rows/cols) plus prob@GT - the
+    train/stream.py:42-57 precedent applied to every eval loop. Replaces
+    the reference's full-map fetch + host numpy argmax per batch
+    (reference train_VIGOR.py:182-186)."""
+    from ccvpe_tpu.ops import pose
+
+    def step(params, batch_stats, grd, sat, row_offset, col_offset):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          device_normalize(grd), device_normalize(sat), False)
+        rows, cols, angle = pose.decode_pose(out.heatmap, out.ori)
+        hs, ws = out.heatmap.shape[1:3]
+        gt_rows, gt_cols = pose.gt_location_device(
+            hs, ws, row_offset, col_offset)
+        b = out.heatmap.shape[0]
+        prob_gt = out.heatmap[jnp.arange(b), gt_rows, gt_cols, 0]
+        return rows, cols, angle, gt_rows, gt_cols, prob_gt
 
     return jax.jit(step)

@@ -22,7 +22,7 @@ from ccvpe_tpu.core.metrics import MetricWriter
 from ccvpe_tpu.train.step import (
     Batch,
     create_train_state,
-    make_eval_step,
+    make_eval_decode_step,
     make_train_step,
 )
 
@@ -62,7 +62,9 @@ class Trainer:
         self.state = replicate(self.mesh, self.state)
         self.train_step = make_train_step(self.model, self.tx, model_cfg,
                                           train_cfg)
-        self.eval_step = make_eval_step(self.model, model_cfg)
+        # scalar-only fused eval (forward + decode + prob@GT on device);
+        # validate() fetches [B] vectors, never full heatmaps
+        self.eval_step = make_eval_decode_step(self.model, model_cfg)
         # multi-host: every process runs the same step/checkpoint calls
         # (orbax coordinates saves internally); files + prints come from
         # process 0 only

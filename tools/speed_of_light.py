@@ -1,0 +1,427 @@
+"""Whole-step speed-of-light / MFU accounting (VERDICT r4 item 1).
+
+For the bench train-step config this tool answers: *how far is the measured
+step time from this platform's floor?* Method:
+
+  1. Compile the bench train step once; fetch the OPTIMIZED HLO text of the
+     executable (fusions formed, layouts assigned).
+  2. Parse every instruction in every computation: opcode, result shape,
+     operand shapes (resolved by name), conv windows / dot contracting dims.
+     Per instruction:
+       - flops: 2*prod(out)*prod(kernel_spatial)*kernel_i for convolutions,
+         2*prod(out)*prod(contracted) for dots; a fusion's flops = the sum
+         over its fused computation. Elementwise flops are ignored - on this
+         model they ride the bandwidth floor (docs/PERFORMANCE.md).
+       - logical bytes: operand buffer bytes + result bytes (tuple-aware).
+         Logical (unpadded) bytes make the floor a defensible LOWER bound.
+  3. Trace a few steps (jax.profiler), aggregate device ns per instruction
+     name from the serialized 'XLA Ops' line (tools/profile_step.py).
+  4. Per instruction floor = max(flop_time, byte_time) against MEASURED
+     ceilings (not datasheet): bf16/f32 matmul chain TFLOP/s and the HBM
+     bandwidth calibrated in-process by a scanned axpy chain. Convolution
+     flops are scored against the conv-emitter ceiling (the best measured
+     conv rate on this chip, tools/bench_layout.py); dots against the
+     matmul chain rate.
+  5. Aggregate achieved-vs-floor into the existing trace buckets (category,
+     dominant activation resolution) and print the whole-step verdict.
+
+Caveats (all push the floor DOWN, i.e. the reported headroom is an upper
+bound): while-body instructions are floored once but traced over all
+iterations (ori-window crops, ~1.5% of the step); elementwise FLOPs are
+uncounted; logical bytes ignore TPU tile padding.
+
+Usage: python tools/speed_of_light.py [--batch 96] [--dtype bfloat16]
+           [--ori-window 160] [--remat-skip 2] [--corr-bf16 1] [--steps 5]
+"""
+
+import argparse
+import collections
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from profile_step import (aggregate_trace, build_step, categorize,
+                          max_activation_res, opcode)
+
+# Measured platform ceilings (tools/microbench_tpu.py, value-fetch synced):
+# the achievable rates through this tunnel, NOT the v5e datasheet numbers.
+MATMUL_TFLOPS = {"bf16": 73.6, "f32": 55.4}
+# Best measured XLA conv-emitter rate on real stage geometries
+# (docs/PERFORMANCE.md "Phase-space": loc-stage-5 chain ~26 TFLOP/s).
+CONV_TFLOPS = 26.0
+
+DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s64": 8, "s32": 4, "s16": 2, "s8": 1,
+    "u64": 8, "u32": 4, "u16": 2, "u8": 1, "pred": 1, "token": 0,
+    "c64": 8, "c128": 16,
+}
+
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def shape_bytes(shape_text: str) -> int:
+    """Logical bytes of an HLO shape string; sums tuple elements."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_text):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def shape_dims(shape_text: str):
+    m = _SHAPE_RE.search(shape_text)
+    if not m:
+        return None, ()
+    dt, dims = m.groups()
+    return dt, tuple(int(d) for d in dims.split(",") if d)
+
+
+class Instr:
+    __slots__ = ("name", "shape", "opcode", "operands", "attrs", "comp")
+
+    def __init__(self, name, shape, opcode, operands, attrs, comp):
+        self.name, self.shape, self.opcode = name, shape, opcode
+        self.operands, self.attrs, self.comp = operands, attrs, comp
+
+
+# instruction line:  %name = SHAPE opcode(opnds), attrs   ('%' optional)
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=\s*(\(?[a-z0-9].*?\)?)\s+"
+    r"([a-z][\w-]*)\((.*)$")
+_COMP_RE = re.compile(r"^\s*%?([\w.-]+)\s*(?:\(.*\))?\s*->.*\{\s*$")
+
+
+def parse_hlo(text: str):
+    """Parse optimized HLO text -> {instr_name: Instr}. Line-oriented; only
+    the fields the accounting needs (shapes, opcode, operand names, the
+    window/dim_labels/contracting attrs, owning computation)."""
+    instrs = {}
+    comp = "?"
+    for line in text.splitlines():
+        if line.endswith("{") and ("->" in line or line.lstrip().startswith(
+                ("ENTRY", "%fused", "fused_", "%wide", "wide_", "%while",
+                 "while_", "%body", "body", "%cond", "cond", "%region",
+                 "region"))):
+            m = _COMP_RE.match(line.replace("ENTRY ", ""))
+            if m:
+                comp = m.group(1)
+            continue
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        name, shape, op, rest = m.groups()
+        # operand names: leading %tokens (or bare names) inside the parens
+        depth, i, args = 1, 0, ""
+        while i < len(rest) and depth:
+            c = rest[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            args += c
+            i += 1
+        attrs = rest[i + 1:]
+        operands = [t.strip().lstrip("%") for t in args.split(",") if t.strip()]
+        instrs[name] = Instr(name, shape, op, operands, attrs, comp)
+    return instrs
+
+
+def _conv_flops(instr: Instr, instrs) -> float:
+    """2 * prod(out) * prod(kernel_spatial) * kernel_input_features.
+    Works for forward, data-grad and weight-grad convs alike (each is an
+    HLO convolution with its own dim_labels)."""
+    _, out_dims = shape_dims(instr.shape)
+    if len(instr.operands) < 2:
+        return 0.0
+    ker = instrs.get(instr.operands[1])
+    if ker is None:
+        return 0.0
+    _, kdims = shape_dims(ker.shape)
+    m = re.search(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)", instr.attrs)
+    if not m or len(kdims) != len(m.group(2)):
+        # default HWIO
+        if len(kdims) < 2:
+            return 0.0
+        spatial = np.prod(kdims[:-2], dtype=np.float64)
+        cin = kdims[-2]
+    else:
+        klabels = m.group(2)
+        spatial = 1.0
+        cin = 1
+        for d, lab in zip(kdims, klabels):
+            if lab == "i":
+                cin = d
+            elif lab != "o":
+                spatial *= d
+    return 2.0 * float(np.prod(out_dims, dtype=np.float64)) * spatial * cin
+
+
+def _dot_flops(instr: Instr, instrs) -> float:
+    _, out_dims = shape_dims(instr.shape)
+    lhs = instrs.get(instr.operands[0]) if instr.operands else None
+    if lhs is None:
+        return 0.0
+    _, ldims = shape_dims(lhs.shape)
+    m = re.search(r"lhs_contracting_dims=\{([0-9,]*)\}", instr.attrs)
+    k = 1.0
+    if m and m.group(1):
+        for d in m.group(1).split(","):
+            if int(d) < len(ldims):
+                k *= ldims[int(d)]
+    elif ldims:
+        k = ldims[-1]
+    return 2.0 * float(np.prod(out_dims, dtype=np.float64)) * k
+
+
+def annotate(instrs):
+    """Per instruction: (conv_flops, dot_flops, mxu_dtype, bytes)."""
+    by_comp = collections.defaultdict(list)
+    for ins in instrs.values():
+        by_comp[ins.comp].append(ins)
+
+    def own_flops(ins):
+        if ins.opcode == "convolution":
+            return _conv_flops(ins, instrs), 0.0, _op_dtype(ins, instrs)
+        if ins.opcode == "dot":
+            return 0.0, _dot_flops(ins, instrs), _op_dtype(ins, instrs)
+        return 0.0, 0.0, None
+
+    def _op_dtype(ins, instrs):
+        op0 = instrs.get(ins.operands[0]) if ins.operands else None
+        dt, _ = shape_dims(op0.shape) if op0 is not None else (None, ())
+        return "bf16" if dt == "bf16" else "f32"
+
+    comp_flops = {}
+
+    def comp_total(comp):
+        if comp not in comp_flops:
+            comp_flops[comp] = [0.0, 0.0, None]
+            for ins in by_comp.get(comp, ()):
+                cf, df, dt = own_flops(ins)
+                # nested calls (fusion inside fusion body is rare; reduce
+                # to_apply bodies carry no conv/dot)
+                cm = re.search(r"calls=%?([\w.-]+)", ins.attrs)
+                if ins.opcode == "fusion" and cm:
+                    sub = comp_total(cm.group(1))
+                    cf, df = cf + sub[0], df + sub[1]
+                    dt = dt or sub[2]
+                comp_flops[comp][0] += cf
+                comp_flops[comp][1] += df
+                if dt and comp_flops[comp][2] is None:
+                    comp_flops[comp][2] = dt
+        return comp_flops[comp]
+
+    out = {}
+    for name, ins in instrs.items():
+        cf, df, dt = own_flops(ins)
+        if ins.opcode == "fusion":
+            cm = re.search(r"calls=%?([\w.-]+)", ins.attrs)
+            if cm:
+                cf, df, dt = comp_total(cm.group(1))
+        nbytes = shape_bytes(ins.shape)
+        seen = set()
+        for opn in ins.operands:
+            if opn in seen:
+                continue
+            seen.add(opn)
+            o = instrs.get(opn)
+            if o is not None:
+                nbytes += shape_bytes(o.shape)
+        out[name] = (cf, df, dt or "f32", nbytes)
+    return out
+
+
+def calibrate_hbm_gbps():
+    """Measured HBM bandwidth: scanned axpy over a 1 GiB f32 buffer
+    (each scan step reads + writes the full buffer)."""
+    x = jnp.ones((256, 1024, 1024), jnp.float32)
+    steps = 16
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return c * 1.0000001 + 0.5, ()
+        y, _ = jax.lax.scan(body, x, None, length=steps)
+        return y
+
+    y = chain(x)
+    float(jax.device_get(y[0, 0, 0]))  # compile+complete
+    t0 = time.perf_counter()
+    y = chain(y)
+    y = chain(y)
+    float(jax.device_get(y[0, 0, 0]))
+    dt = (time.perf_counter() - t0) / 2
+    gib = x.size * 4 / 2**30
+    gbps = 2 * gib * steps * 2**30 / dt / 1e9
+    return gbps, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--ori-window", type=int, default=160)
+    ap.add_argument("--remat-skip", type=int, default=2)
+    ap.add_argument("--corr-bf16", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out", default="/tmp/ccvpe_sol_trace")
+    ap.add_argument("--hbm-gbps", type=float, default=0.0,
+                    help="skip calibration, use this HBM BW")
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+
+    if args.hbm_gbps:
+        hbm_gbps = args.hbm_gbps
+        print(f"HBM BW (given): {hbm_gbps:.0f} GB/s", flush=True)
+    else:
+        hbm_gbps, dt = calibrate_hbm_gbps()
+        print(f"HBM BW (measured, 1 GiB axpy x16): {hbm_gbps:.0f} GB/s "
+              f"({dt*1e3:.0f} ms/chain)", flush=True)
+
+    step, state, data = build_step(args.batch, args.dtype,
+                                   args.ori_window, args.remat_skip, 0,
+                                   args.corr_bf16)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    lowered = step.lower(state, data, key)
+    compiled = lowered.compile()
+    print(f"compile: {time.perf_counter() - t0:.1f}s", flush=True)
+    hlo_text = compiled.as_text()
+    print(f"optimized HLO: {len(hlo_text) / 1e6:.1f} MB", flush=True)
+    instrs = parse_hlo(hlo_text)
+    info = annotate(instrs)
+    print(f"parsed {len(instrs)} instructions", flush=True)
+
+    # run + trace (reuses the executable just compiled)
+    state, metrics = step(state, data, key)
+    float(jax.device_get(metrics["loss"]))
+    for _ in range(3):
+        state, metrics = step(state, data, key)
+    float(jax.device_get(metrics["loss"]))
+    jax.profiler.start_trace(args.out)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, data, key)
+    float(jax.device_get(metrics["loss"]))
+    wall = (time.perf_counter() - t0) / args.steps
+    jax.profiler.stop_trace()
+    print(f"{args.steps} steps @ {wall*1e3:.1f} ms/step "
+          f"({args.batch/wall:.1f} pairs/s)", flush=True)
+
+    path, planes, per_op = aggregate_trace(args.out)
+    total_ns = sum(per_op.values())
+    print(f"trace total: {total_ns/args.steps/1e6:.1f} ms/step device",
+          flush=True)
+
+    conv_bps = {d: CONV_TFLOPS * 1e12 for d in ("bf16", "f32")}
+    # f32 convs run the same emitter at half MXU rate; scale by the measured
+    # matmul bf16:f32 ratio
+    conv_bps["f32"] = CONV_TFLOPS * 1e12 * (
+        MATMUL_TFLOPS["f32"] / MATMUL_TFLOPS["bf16"])
+
+    rows = []           # (name, ns, floor_ns, flop_ns, byte_ns, matched)
+    unmatched_ns = 0
+    for ev_name, ns in per_op.items():
+        m = re.match(r"%?([\w.-]+)", ev_name)
+        key_name = m.group(1) if m else ""
+        rec = info.get(key_name)
+        if rec is None:
+            unmatched_ns += ns
+            rows.append((ev_name, ns, 0.0, 0.0, 0.0, False))
+            continue
+        cf, df, dt, nbytes = rec
+        flop_s = (cf / conv_bps[dt]
+                  + df / (MATMUL_TFLOPS[dt] * 1e12))
+        byte_s = nbytes / (hbm_gbps * 1e9)
+        floor = max(flop_s, byte_s) * 1e9
+        rows.append((ev_name, ns, floor * args.steps,
+                     flop_s * 1e9 * args.steps,
+                     byte_s * 1e9 * args.steps, True))
+
+    # NOTE: floors are per-execution; trace ns sums args.steps executions
+    # (and while-loop iterations). Scale floors by steps above; while-bodies
+    # under-floor, stated in the module docstring.
+    def bucket_table(keyfn, title):
+        agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+        for name, ns, floor, flns, byns, ok in rows:
+            b = keyfn(name)
+            agg[b][0] += ns
+            agg[b][1] += floor
+            agg[b][2] += flns
+            agg[b][3] += byns
+        print(f"\n== {title} ==")
+        print(f"{'bucket':<42}{'meas ms':>9}{'floor ms':>10}"
+              f"{'flop ms':>9}{'byte ms':>9}{'eff':>7}  bound")
+        items = sorted(agg.items(), key=lambda kv: -kv[1][0])
+        for b, (ns, floor, flns, byns) in items:
+            ms = ns / args.steps / 1e6
+            fms = floor / args.steps / 1e6
+            bound = ("flop" if flns > byns else "byte") if floor else "-"
+            eff = floor / ns if ns else 0.0
+            print(f"{str(b):<42}{ms:>9.1f}{fms:>10.1f}"
+                  f"{flns/args.steps/1e6:>9.1f}{byns/args.steps/1e6:>9.1f}"
+                  f"{eff:>7.2f}  {bound}")
+        return agg
+
+    bucket_table(categorize, "by category")
+    res_agg = bucket_table(
+        lambda n: f"res {max_activation_res(n, args.batch)}",
+        "by dominant activation resolution")
+
+    meas_ms = total_ns / args.steps / 1e6
+    floor_ms = sum(r[2] for r in rows) / args.steps / 1e6
+    flop_ms = sum(r[3] for r in rows) / args.steps / 1e6
+    byte_ms = sum(r[4] for r in rows) / args.steps / 1e6
+    print(f"\n== whole step ==")
+    print(f"measured device: {meas_ms:.1f} ms/step")
+    print(f"floor (sum of per-op max(flop,byte)): {floor_ms:.1f} ms/step "
+          f"-> step efficiency {floor_ms/meas_ms:.2f}")
+    print(f"  pure-flop floor {flop_ms:.1f} ms, pure-byte floor {byte_ms:.1f} ms")
+    print(f"unmatched trace time: {unmatched_ns/args.steps/1e6:.1f} ms/step")
+    tf = sum((info[re.match(r'%?([\w.-]+)', n).group(1)][0]
+              + info[re.match(r'%?([\w.-]+)', n).group(1)][1])
+             for n, ns, *_ , ok in rows if ok) / 1e12
+    print(f"MXU work: {tf:.2f} TFLOP/step -> achieved "
+          f"{tf/(meas_ms/1e3):.1f} TFLOP/s overall")
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"batch": args.batch, "meas_ms": meas_ms,
+                       "floor_ms": floor_ms, "flop_ms": flop_ms,
+                       "byte_ms": byte_ms, "hbm_gbps": hbm_gbps,
+                       "tflop_per_step": tf,
+                       "res_buckets": {str(k): [v[0]/args.steps/1e6,
+                                               v[1]/args.steps/1e6]
+                                       for k, v in res_agg.items()}}, f)
+
+    # top under-floor ops: where the slack is
+    print("\n== top 15 ops by (measured - floor) ==")
+    for name, ns, floor, flns, byns, ok in sorted(
+            rows, key=lambda r: -(r[1] - r[2]))[:15]:
+        print(f"  {(ns-floor)/args.steps/1e6:7.2f} ms slack  "
+              f"meas {ns/args.steps/1e6:7.2f}  floor {floor/args.steps/1e6:6.2f}  "
+              f"{name[:130]}")
+
+
+if __name__ == "__main__":
+    main()
