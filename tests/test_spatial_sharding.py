@@ -55,3 +55,61 @@ def test_spatial_sharded_forward_matches_unsharded(rng):
                                    out_ref.matching_scores)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=f"scale {i + 1}")
+
+
+@pytest.mark.slow
+def test_spatial_sharded_real_geometry_compiles(rng):
+    """GSPMD halo partitioning at the REAL VIGOR geometry (512^2 decoder,
+    uneven-divisor stage heights) plus the 160-px ori-window dynamic-slice
+    crops interacting with spatial_axis - compiled and executed once on the
+    8-device CPU mesh (VERDICT r4 item 5; cached in /tmp/ccvpe_jax_cache
+    thereafter). Forward-only, batch 2, f32; the window path is the
+    train-time graph (models/cvm.py:217-230)."""
+    from ccvpe_tpu.train.step import ori_window_starts, Batch
+
+    cfg = dataclasses.replace(cfg_lib.vigor(), spatial_axis="model",
+                              ori_window=160)
+    hg, wg = cfg.grd_size
+    hs, ws = cfg.sat_size
+    b = 2
+    grd = jnp.asarray(rng.normal(size=(b, hg, wg, 3)).astype(np.float32))
+    sat = jnp.asarray(rng.normal(size=(b, hs, ws, 3)).astype(np.float32))
+    batch = Batch(grd=grd, sat=sat,
+                  row_offset=jnp.asarray([12.0, -40.0], jnp.float32),
+                  col_offset=jnp.asarray([-7.0, 33.0], jnp.float32),
+                  angle_deg=jnp.asarray([10.0, 200.0], jnp.float32))
+
+    # cheap full-geometry variables: random params, identity BN stats
+    # (a real model.init would be a second multi-minute CPU compile)
+    model = CVM(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), grd[:1], sat[:1], False))
+    prng = np.random.default_rng(1)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(prng.normal(scale=0.05, size=s.shape)
+                              .astype(np.float32)), shapes["params"])
+    stats = jax.tree_util.tree_map_with_path(
+        lambda path, s: (jnp.ones if "var" in str(path[-1]) else jnp.zeros)(
+            s.shape, s.dtype), shapes.get("batch_stats", {}))
+    variables = {"params": params, "batch_stats": stats}
+
+    mesh = make_mesh(data=2, model=4)
+    with jax.set_mesh(mesh):
+        vars_sh = jax.device_put(variables, replicated(mesh))
+        grd_sh, sat_sh = shard_batch(mesh, (grd, sat))
+        r0, c0 = ori_window_starts(cfg, batch)
+
+        @jax.jit
+        def fwd(v, g, s, r0, c0):
+            out = model.apply(v, g, s, False, ori_window=(r0, c0))
+            return out.logits, out.ori, out.ori_offsets
+
+        logits, ori, offs = fwd(vars_sh, grd_sh, sat_sh, r0, c0)
+        logits, ori, offs = map(np.asarray, (logits, ori, offs))
+    assert logits.shape == (b, hs * ws) and np.isfinite(logits).all()
+    # windowed ori field: [B, 160, 160, 2], unit-norm, window origin snapped
+    assert ori.shape == (b, 160, 160, 2)
+    assert np.isfinite(ori).all()
+    np.testing.assert_allclose(np.linalg.norm(ori, axis=-1), 1.0, atol=1e-3)
+    assert (offs % 4 == 0).all() and (offs >= 0).all()
+    assert (offs <= hs - 160).all()

@@ -51,12 +51,17 @@ import numpy as np
 from profile_step import (aggregate_trace, build_step, categorize,
                           max_activation_res, opcode)
 
-# Measured platform ceilings (tools/microbench_tpu.py, value-fetch synced):
-# the achievable rates through this tunnel, NOT the v5e datasheet numbers.
-MATMUL_TFLOPS = {"bf16": 73.6, "f32": 55.4}
-# Best measured XLA conv-emitter rate on real stage geometries
-# (docs/PERFORMANCE.md "Phase-space": loc-stage-5 chain ~26 TFLOP/s).
-CONV_TFLOPS = 26.0
+# Ceilings for the FLOOR must be true upper bounds on achievable rate, so
+# they are the v5e datasheet numbers - NOT the in-repo microbenches, which
+# this tool itself proved to be lower bounds: the r5 trace shows fused
+# bottleneck convs running at ~130 TFLOP/s, far above the 73.6 TF/s
+# dependent-scan matmul chain (tools/microbench_tpu.py), and layout copies
+# at ~490 GB/s, matching the axpy calibration (real streams can approach
+# the 819 GB/s datasheet). A floor computed with too-HIGH a ceiling stays a
+# valid lower bound on time; with a too-low one it silently overstates
+# efficiency - hence datasheet.
+PEAK_TFLOPS = {"bf16": 197.0, "f32": 98.5}   # v5e MXU
+HBM_PEAK_GBPS = 819.0                        # v5e HBM
 
 DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
@@ -142,34 +147,68 @@ def parse_hlo(text: str):
     return instrs
 
 
+def _parse_window(attrs: str):
+    """window={size=AxB stride=.. pad=.. lhs_dilate=.. rhs_dilate=..} ->
+    dict of per-dim int lists (missing fields default later)."""
+    m = re.search(r"window=\{([^}]*)\}", attrs)
+    out = {}
+    if not m:
+        return out
+    for field in ("size", "stride", "lhs_dilate", "rhs_dilate"):
+        fm = re.search(rf"{field}=([0-9x_]+)", m.group(1))
+        if fm:
+            out[field] = [int(t.split("_")[0]) for t in
+                          fm.group(1).split("x")]
+    return out
+
+
 def _conv_flops(instr: Instr, instrs) -> float:
-    """2 * prod(out) * prod(kernel_spatial) * kernel_input_features.
-    Works for forward, data-grad and weight-grad convs alike (each is an
-    HLO convolution with its own dim_labels)."""
+    """2 * prod(out) * prod(effective_taps_d) * contracted_features.
+
+    XLA expresses data-grads, weight-grads and even batch-contraction
+    einsums as convolutions with exotic windows (e.g. a 1x1 weight 'image'
+    against a 256x256 activation 'kernel' padded 255, or lhs_dilate=96 for
+    a batch contraction). The true multiplies per output in dim d are
+    bounded by BOTH the kernel taps surviving rhs_dilation AND the real
+    (undilated, in-bounds) lhs elements a window can cover:
+        taps_d = min(ceil(k/rhs_dil), ceil(k/lhs_dil), lhs_spatial_d)
+    which reduces to k for ordinary convolutions."""
     _, out_dims = shape_dims(instr.shape)
     if len(instr.operands) < 2:
         return 0.0
-    ker = instrs.get(instr.operands[1])
-    if ker is None:
+    lhs = instrs.get(instr.operands[0])
+    rhs = instrs.get(instr.operands[1])
+    if lhs is None or rhs is None:
         return 0.0
-    _, kdims = shape_dims(ker.shape)
+    _, ldims = shape_dims(lhs.shape)
+    _, kdims = shape_dims(rhs.shape)
     m = re.search(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)", instr.attrs)
-    if not m or len(kdims) != len(m.group(2)):
-        # default HWIO
+    win = _parse_window(instr.attrs)
+    if not m or len(kdims) != len(m.group(2)) or len(ldims) != len(m.group(1)):
         if len(kdims) < 2:
             return 0.0
-        spatial = np.prod(kdims[:-2], dtype=np.float64)
+        taps = float(np.prod(kdims[:-2], dtype=np.float64))
         cin = kdims[-2]
-    else:
-        klabels = m.group(2)
-        spatial = 1.0
-        cin = 1
-        for d, lab in zip(kdims, klabels):
-            if lab == "i":
-                cin = d
-            elif lab != "o":
-                spatial *= d
-    return 2.0 * float(np.prod(out_dims, dtype=np.float64)) * spatial * cin
+        return 2.0 * float(np.prod(out_dims, dtype=np.float64)) * taps * cin
+    llabels, klabels = m.group(1), m.group(2)
+    lhs_spatial = [d for d, lab in zip(ldims, llabels) if lab not in "bf"]
+    k_spatial = [d for d, lab in zip(kdims, klabels) if lab not in "io"]
+    cin = 1
+    for d, lab in zip(kdims, klabels):
+        if lab == "i":
+            cin = d
+    nd = len(k_spatial)
+    sizes = win.get("size", k_spatial)
+    lhs_dil = win.get("lhs_dilate", [1] * nd)
+    rhs_dil = win.get("rhs_dilate", [1] * nd)
+    taps = 1.0
+    for d in range(nd):
+        k = sizes[d] if d < len(sizes) else k_spatial[d]
+        t = min(-(-k // max(1, rhs_dil[d] if d < len(rhs_dil) else 1)),
+                -(-k // max(1, lhs_dil[d] if d < len(lhs_dil) else 1)),
+                lhs_spatial[d] if d < len(lhs_spatial) else k)
+        taps *= max(1, t)
+    return 2.0 * float(np.prod(out_dims, dtype=np.float64)) * taps * cin
 
 
 def _dot_flops(instr: Instr, instrs) -> float:
@@ -284,62 +323,78 @@ def main():
     ap.add_argument("--hbm-gbps", type=float, default=0.0,
                     help="skip calibration, use this HBM BW")
     ap.add_argument("--json-out", default="")
+    ap.add_argument("--reuse", action="store_true",
+                    help="offline re-analysis: parse <out>/module.hlo.txt + "
+                         "the existing trace under <out>, no TPU needed")
+    ap.add_argument("--debug-top-flops", type=int, default=0,
+                    help="print the N largest per-instruction FLOP "
+                         "attributions with their parse details")
     args = ap.parse_args()
 
-    print(f"backend={jax.default_backend()} devices={jax.devices()}",
-          flush=True)
-
-    if args.hbm_gbps:
-        hbm_gbps = args.hbm_gbps
-        print(f"HBM BW (given): {hbm_gbps:.0f} GB/s", flush=True)
+    hlo_path = os.path.join(args.out, "module.hlo.txt")
+    if args.reuse:
+        hbm_gbps = args.hbm_gbps or 494.0   # measured r5 (this tool)
+        hlo_text = open(hlo_path).read()
     else:
-        hbm_gbps, dt = calibrate_hbm_gbps()
-        print(f"HBM BW (measured, 1 GiB axpy x16): {hbm_gbps:.0f} GB/s "
-              f"({dt*1e3:.0f} ms/chain)", flush=True)
+        print(f"backend={jax.default_backend()} devices={jax.devices()}",
+              flush=True)
+        if args.hbm_gbps:
+            hbm_gbps = args.hbm_gbps
+            print(f"HBM BW (given): {hbm_gbps:.0f} GB/s", flush=True)
+        else:
+            hbm_gbps, dt = calibrate_hbm_gbps()
+            print(f"HBM BW (measured, 1 GiB axpy x16): {hbm_gbps:.0f} GB/s "
+                  f"({dt*1e3:.0f} ms/chain)", flush=True)
 
-    step, state, data = build_step(args.batch, args.dtype,
-                                   args.ori_window, args.remat_skip, 0,
-                                   args.corr_bf16)
-    key = jax.random.PRNGKey(0)
+        step, state, data = build_step(args.batch, args.dtype,
+                                       args.ori_window, args.remat_skip, 0,
+                                       args.corr_bf16)
+        key = jax.random.PRNGKey(0)
 
-    t0 = time.perf_counter()
-    lowered = step.lower(state, data, key)
-    compiled = lowered.compile()
-    print(f"compile: {time.perf_counter() - t0:.1f}s", flush=True)
-    hlo_text = compiled.as_text()
+        t0 = time.perf_counter()
+        lowered = step.lower(state, data, key)
+        compiled = lowered.compile()
+        print(f"compile: {time.perf_counter() - t0:.1f}s", flush=True)
+        hlo_text = compiled.as_text()
+        os.makedirs(args.out, exist_ok=True)
+        with open(hlo_path, "w") as f:
+            f.write(hlo_text)
     print(f"optimized HLO: {len(hlo_text) / 1e6:.1f} MB", flush=True)
     instrs = parse_hlo(hlo_text)
     info = annotate(instrs)
     print(f"parsed {len(instrs)} instructions", flush=True)
 
-    # run + trace (reuses the executable just compiled)
-    state, metrics = step(state, data, key)
-    float(jax.device_get(metrics["loss"]))
-    for _ in range(3):
+    if args.debug_top_flops:
+        tops = sorted(info.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))
+        for name, (cf, df, dt_, nbytes) in tops[:args.debug_top_flops]:
+            ins = instrs[name]
+            print(f"  {cf/1e9:10.1f} GF conv {df/1e9:10.1f} GF dot {dt_} "
+                  f"{ins.opcode:<12} {name} :: {ins.shape[:60]} "
+                  f"attrs={ins.attrs[:120]}")
+
+    if not args.reuse:
+        # run + trace (reuses the executable just compiled)
         state, metrics = step(state, data, key)
-    float(jax.device_get(metrics["loss"]))
-    jax.profiler.start_trace(args.out)
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, data, key)
-    float(jax.device_get(metrics["loss"]))
-    wall = (time.perf_counter() - t0) / args.steps
-    jax.profiler.stop_trace()
-    print(f"{args.steps} steps @ {wall*1e3:.1f} ms/step "
-          f"({args.batch/wall:.1f} pairs/s)", flush=True)
+        float(jax.device_get(metrics["loss"]))
+        for _ in range(3):
+            state, metrics = step(state, data, key)
+        float(jax.device_get(metrics["loss"]))
+        jax.profiler.start_trace(args.out)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state, data, key)
+        float(jax.device_get(metrics["loss"]))
+        wall = (time.perf_counter() - t0) / args.steps
+        jax.profiler.stop_trace()
+        print(f"{args.steps} steps @ {wall*1e3:.1f} ms/step "
+              f"({args.batch/wall:.1f} pairs/s)", flush=True)
 
     path, planes, per_op = aggregate_trace(args.out)
     total_ns = sum(per_op.values())
     print(f"trace total: {total_ns/args.steps/1e6:.1f} ms/step device",
           flush=True)
 
-    conv_bps = {d: CONV_TFLOPS * 1e12 for d in ("bf16", "f32")}
-    # f32 convs run the same emitter at half MXU rate; scale by the measured
-    # matmul bf16:f32 ratio
-    conv_bps["f32"] = CONV_TFLOPS * 1e12 * (
-        MATMUL_TFLOPS["f32"] / MATMUL_TFLOPS["bf16"])
-
-    rows = []           # (name, ns, floor_ns, flop_ns, byte_ns, matched)
+    rows = []   # (name, ns, floor_ns, flop_ns, byte_ns, flops, bytes, ok)
     unmatched_ns = 0
     for ev_name, ns in per_op.items():
         m = re.match(r"%?([\w.-]+)", ev_name)
@@ -347,40 +402,44 @@ def main():
         rec = info.get(key_name)
         if rec is None:
             unmatched_ns += ns
-            rows.append((ev_name, ns, 0.0, 0.0, 0.0, False))
+            rows.append((ev_name, ns, 0.0, 0.0, 0.0, 0.0, 0, False))
             continue
         cf, df, dt, nbytes = rec
-        flop_s = (cf / conv_bps[dt]
-                  + df / (MATMUL_TFLOPS[dt] * 1e12))
-        byte_s = nbytes / (hbm_gbps * 1e9)
+        flop_s = (cf + df) / (PEAK_TFLOPS[dt] * 1e12)
+        byte_s = nbytes / (HBM_PEAK_GBPS * 1e9)
         floor = max(flop_s, byte_s) * 1e9
         rows.append((ev_name, ns, floor * args.steps,
                      flop_s * 1e9 * args.steps,
-                     byte_s * 1e9 * args.steps, True))
+                     byte_s * 1e9 * args.steps, cf + df, nbytes, True))
 
     # NOTE: floors are per-execution; trace ns sums args.steps executions
     # (and while-loop iterations). Scale floors by steps above; while-bodies
     # under-floor, stated in the module docstring.
     def bucket_table(keyfn, title):
-        agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0.0])
-        for name, ns, floor, flns, byns, ok in rows:
+        agg = collections.defaultdict(lambda: [0, 0.0, 0.0, 0.0, 0.0, 0])
+        for name, ns, floor, flns, byns, flops, nbytes, ok in rows:
             b = keyfn(name)
             agg[b][0] += ns
             agg[b][1] += floor
             agg[b][2] += flns
             agg[b][3] += byns
+            agg[b][4] += flops
+            agg[b][5] += nbytes
         print(f"\n== {title} ==")
-        print(f"{'bucket':<42}{'meas ms':>9}{'floor ms':>10}"
-              f"{'flop ms':>9}{'byte ms':>9}{'eff':>7}  bound")
+        print(f"{'bucket':<36}{'meas ms':>9}{'floor ms':>10}"
+              f"{'eff':>6}  bound  {'TF/s':>6}{'GB/s':>7}")
         items = sorted(agg.items(), key=lambda kv: -kv[1][0])
-        for b, (ns, floor, flns, byns) in items:
+        for b, (ns, floor, flns, byns, flops, nbytes) in items:
             ms = ns / args.steps / 1e6
+            if ms < 0.05:
+                continue
             fms = floor / args.steps / 1e6
             bound = ("flop" if flns > byns else "byte") if floor else "-"
             eff = floor / ns if ns else 0.0
-            print(f"{str(b):<42}{ms:>9.1f}{fms:>10.1f}"
-                  f"{flns/args.steps/1e6:>9.1f}{byns/args.steps/1e6:>9.1f}"
-                  f"{eff:>7.2f}  {bound}")
+            sec = ns / 1e9
+            print(f"{str(b):<36}{ms:>9.1f}{fms:>10.1f}{eff:>6.2f}  "
+                  f"{bound:<5}{flops/sec/1e12:>7.1f}"
+                  f"{nbytes*args.steps/sec/1e9:>7.0f}")
         return agg
 
     bucket_table(categorize, "by category")
@@ -392,31 +451,35 @@ def main():
     floor_ms = sum(r[2] for r in rows) / args.steps / 1e6
     flop_ms = sum(r[3] for r in rows) / args.steps / 1e6
     byte_ms = sum(r[4] for r in rows) / args.steps / 1e6
-    print(f"\n== whole step ==")
+    tf = sum(r[5] for r in rows if r[7]) / 1e12
+    gbytes = sum(r[6] for r in rows if r[7]) / 1e9
+    print(f"\n== whole step (datasheet ceilings: "
+          f"{PEAK_TFLOPS['bf16']:.0f} TF/s bf16, {HBM_PEAK_GBPS:.0f} GB/s) ==")
     print(f"measured device: {meas_ms:.1f} ms/step")
     print(f"floor (sum of per-op max(flop,byte)): {floor_ms:.1f} ms/step "
           f"-> step efficiency {floor_ms/meas_ms:.2f}")
     print(f"  pure-flop floor {flop_ms:.1f} ms, pure-byte floor {byte_ms:.1f} ms")
     print(f"unmatched trace time: {unmatched_ns/args.steps/1e6:.1f} ms/step")
-    tf = sum((info[re.match(r'%?([\w.-]+)', n).group(1)][0]
-              + info[re.match(r'%?([\w.-]+)', n).group(1)][1])
-             for n, ns, *_ , ok in rows if ok) / 1e12
     print(f"MXU work: {tf:.2f} TFLOP/step -> achieved "
-          f"{tf/(meas_ms/1e3):.1f} TFLOP/s overall")
+          f"{tf/(meas_ms/1e3):.1f} TFLOP/s overall "
+          f"({tf/(meas_ms/1e3)/PEAK_TFLOPS['bf16']*100:.0f}% MFU)")
+    print(f"logical HBM bytes: {gbytes:.1f} GB/step -> achieved "
+          f"{gbytes/(meas_ms/1e3):.0f} GB/s overall "
+          f"(calibrated axpy stream: {hbm_gbps:.0f} GB/s)")
 
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"batch": args.batch, "meas_ms": meas_ms,
                        "floor_ms": floor_ms, "flop_ms": flop_ms,
-                       "byte_ms": byte_ms, "hbm_gbps": hbm_gbps,
-                       "tflop_per_step": tf,
+                       "byte_ms": byte_ms, "hbm_gbps_calibrated": hbm_gbps,
+                       "tflop_per_step": tf, "gbyte_per_step": gbytes,
                        "res_buckets": {str(k): [v[0]/args.steps/1e6,
                                                v[1]/args.steps/1e6]
                                        for k, v in res_agg.items()}}, f)
 
     # top under-floor ops: where the slack is
     print("\n== top 15 ops by (measured - floor) ==")
-    for name, ns, floor, flns, byns, ok in sorted(
+    for name, ns, floor, flns, byns, flops, nbytes, ok in sorted(
             rows, key=lambda r: -(r[1] - r[2]))[:15]:
         print(f"  {(ns-floor)/args.steps/1e6:7.2f} ms slack  "
               f"meas {ns/args.steps/1e6:7.2f}  floor {floor/args.steps/1e6:6.2f}  "
