@@ -27,13 +27,14 @@ import numpy as np
 
 
 def build_step(batch, dtype="float32", ori_window=0, remat_skip=0,
-               phase_space=0, corr_bf16=0):
+               phase_space=0, corr_bf16=0, preset="vigor"):
     import dataclasses
 
     from ccvpe_tpu.core import config as cfg_lib
     from ccvpe_tpu.train.step import Batch, create_train_state, make_train_step
 
-    model_cfg = dataclasses.replace(cfg_lib.vigor(), remat_backbone=True,
+    model_cfg = dataclasses.replace(cfg_lib.get_model_config(preset),
+                                    remat_backbone=True,
                                     deconv_impl="conv", compute_dtype=dtype,
                                     ori_window=ori_window,
                                     remat_skip_blocks=remat_skip,

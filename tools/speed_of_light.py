@@ -16,12 +16,11 @@ step time from this platform's floor?* Method:
          Logical (unpadded) bytes make the floor a defensible LOWER bound.
   3. Trace a few steps (jax.profiler), aggregate device ns per instruction
      name from the serialized 'XLA Ops' line (tools/profile_step.py).
-  4. Per instruction floor = max(flop_time, byte_time) against MEASURED
-     ceilings (not datasheet): bf16/f32 matmul chain TFLOP/s and the HBM
-     bandwidth calibrated in-process by a scanned axpy chain. Convolution
-     flops are scored against the conv-emitter ceiling (the best measured
-     conv rate on this chip, tools/bench_layout.py); dots against the
-     matmul chain rate.
+  4. Per instruction floor = max(flop_time, byte_time) against DATASHEET
+     ceilings (PEAK_TFLOPS / HBM_PEAK_GBPS below - a floor needs true
+     upper bounds; the in-repo microbenches proved to be lower bounds).
+     The in-process axpy calibration is still run and reported as the
+     platform's demonstrated practical stream rate.
   5. Aggregate achieved-vs-floor into the existing trace buckets (category,
      dominant activation resolution) and print the whole-step verdict.
 
@@ -323,6 +322,7 @@ def main():
     ap.add_argument("--hbm-gbps", type=float, default=0.0,
                     help="skip calibration, use this HBM BW")
     ap.add_argument("--json-out", default="")
+    ap.add_argument("--preset", default="vigor")
     ap.add_argument("--reuse", action="store_true",
                     help="offline re-analysis: parse <out>/module.hlo.txt + "
                          "the existing trace under <out>, no TPU needed")
@@ -348,7 +348,7 @@ def main():
 
         step, state, data = build_step(args.batch, args.dtype,
                                        args.ori_window, args.remat_skip, 0,
-                                       args.corr_bf16)
+                                       args.corr_bf16, preset=args.preset)
         key = jax.random.PRNGKey(0)
 
         t0 = time.perf_counter()
