@@ -20,6 +20,10 @@ from ccvpe_tpu.core import config as cfg_lib
 from ccvpe_tpu.models.cvm import CVM
 from ccvpe_tpu.ops.lmu_pallas import fused_stage_diff, fused_stage_reference
 
+# compile-heavy parity/equivalence suites: full-lane only (the op-level
+# variants stay in the fast lane via test_lmu_pallas/test_corr)
+pytestmark = pytest.mark.slow
+
 
 def test_fused_stage_diff_grads_match_reference():
     rng = np.random.default_rng(3)

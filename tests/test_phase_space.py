@@ -158,6 +158,10 @@ import dataclasses
 from ccvpe_tpu.core import config as cfg_lib
 from ccvpe_tpu.models.cvm import CVM
 
+# compile-heavy parity/equivalence suites: full-lane only (the op-level
+# variants stay in the fast lane via test_lmu_pallas/test_corr)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_pair():

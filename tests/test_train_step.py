@@ -16,6 +16,10 @@ from ccvpe_tpu.train.step import (
     make_train_step,
 )
 
+# compile-heavy parity/equivalence suites: full-lane only (the op-level
+# variants stay in the fast lane via test_lmu_pallas/test_corr)
+pytestmark = pytest.mark.slow
+
 
 def synthetic_batch(cfg, batch_size, seed=0):
     rng = np.random.default_rng(seed)
